@@ -1,0 +1,271 @@
+"""Typed configuration for the SAT-TPU framework.
+
+Mirrors the ~60 argparse flags of the reference trainer (reference: train.py:16-165)
+as a dataclass, plus the data-derived overrides the reference applies at runtime
+(reference: train.py:238-242 stuffs vocab/embed metadata into args; model.py:56
+writes the discovered encoder_dim back).  The full config is serialized into every
+checkpoint so a checkpoint is a self-contained deployment artifact
+(reference: model.py:142 save_hyperparameters)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+METRIC_CHOICES = ("bleu1", "bleu2", "bleu3", "bleu4", "gleu")
+
+ENCODER_ARCHS = (
+    "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "resnext50_32x4d", "resnext101_32x8d", "wide_resnet50_2", "wide_resnet101_2",
+    "squeezenet1_0", "squeezenet1_1",
+    "densenet121", "densenet169", "densenet201", "densenet161",
+    "shufflenet_v2_x0_5", "shufflenet_v2_x1_0", "shufflenet_v2_x1_5", "shufflenet_v2_x2_0",
+    "mobilenet_v2", "mobilenet_v3_large", "mobilenet_v3_small",
+    "mnasnet0_5", "mnasnet0_75", "mnasnet1_0", "mnasnet1_3",
+)
+
+
+@dataclass
+class SATConfig:
+    # -- Init and setup (reference: train.py:21-32)
+    seed: int = 42
+    name: str = "default"
+    workers: int = 0
+    benchmark: bool = False
+    precision: int = 32               # 32 = fp32, 16 = bf16 compute (TPU-native AMP)
+
+    # -- Dataset (reference: train.py:34-41)
+    json: Optional[str] = None
+    mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    bucket_sampler: bool = False
+
+    # -- Vision encoder (reference: train.py:43-51; readme.md:110-125 encoder_size variant)
+    encoder_arch: str = "shufflenet_v2_x0_5"
+    input_size: int = 224
+    pretrained: bool = False
+    pretrained_weights: Optional[str] = None   # path to a torchvision state_dict (offline import)
+    encoder_finetune_after: int = -1
+    encoder_dim: Optional[int] = None
+    encoder_size: Optional[int] = None         # adaptive-pool / upsample target grid size
+
+    # -- Text decoder (reference: train.py:53-66)
+    embed_dim: int = 256
+    embed_norm: Optional[float] = None
+    attention_dim: int = 128
+    decoder_dim: int = 512
+    decoder_layers: int = 1
+    decoder_tf: Optional[str] = None           # always | linear | inv_sigmoid | exp
+    decoder_tf_min: float = 0.5
+
+    # -- General training (reference: train.py:68-73)
+    batch: int = 1
+    accumulate: int = 1
+    epochs: int = 10
+
+    # -- Optimizer (reference: train.py:75-98)
+    opt: str = "adam"                          # sgd | adam | adamw
+    encoder_lr: float = 1e-5
+    decoder_lr: float = 1e-3
+    embedding_lr: float = 1e-2
+    lr_warmup_steps: int = 0
+    momentum: float = 0.9
+    nesterov: bool = False
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    grad_clip: str = "value"                   # value | norm
+    clip_value: float = 0.0                    # 0 = no clipping
+    min_lr: float = 0.0
+
+    # -- Scheduler (reference: train.py:100-120)
+    scheduler: Optional[str] = None            # step | plateau | exp | cosine | one_cycle
+    lr_gamma: float = 0.1
+    milestones: Tuple[int, ...] = (10, 15)
+    plateau_patience: int = 20
+    plateau_monitor: str = "bleu4"
+    cosine_iterations: float = 1e3
+    cosine_multi: int = 1
+    one_cycle_pct: float = 0.3
+    one_cycle_div: float = 25.0
+    one_cycle_fdiv: float = 1e4
+
+    # -- Validation (reference: train.py:122-129)
+    val_interval: int = 5
+    val_percent: float = 1.0
+    val_beamk: int = 3
+    val_max_len: int = 32
+
+    # -- Callbacks (reference: train.py:131-138)
+    save_top_k: int = 1
+    save_monitor: str = "bleu4"
+    early_stop_monitor: Optional[str] = None
+    early_stop_patience: int = 6
+
+    # -- Misc (reference: train.py:140-147)
+    dropout: float = 0.0
+    embedding_dropout: float = 0.0
+    label_smoothing: float = 0.0
+    weight_tying: bool = False
+
+    # -- Augmentations (reference: train.py:149-158)
+    aug_scale: float = 0.9
+    aug_hflip: float = 0.5
+    aug_color_jitter: float = 0.0
+    aug_optical_strength: float = 0.0
+    aug_noise_std: float = 0.01
+
+    # -- SAT specific (reference: train.py:160-163)
+    deep_output: bool = False
+    att_gamma: float = 1.0
+
+    # -- TPU-native parallelism (no reference equivalent; replaces --gpus at train.py:27-28)
+    mesh_shape: Tuple[int, ...] = (-1,)        # -1 = all devices on the data axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+    # -- Data-derived fields (reference: train.py:238-242, 250; model.py:56)
+    vocab_stoi: Optional[Dict[str, int]] = None
+    vocab_size: Optional[int] = None
+    pretrained_embedding: Optional[str] = None
+    train_loader_len: Optional[int] = None
+    max_cap_length: Optional[int] = None       # full encoded length incl <START>/<END>/pads
+
+    # ------------------------------------------------------------------
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.precision == 16 else jnp.float32
+
+    def replace(self, **kw) -> "SATConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "SATConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            if k not in known:
+                continue
+            if isinstance(v, list):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    @classmethod
+    def from_json(cls, s: str) -> "SATConfig":
+        return cls.from_dict(json.loads(s))
+
+    def validate(self) -> "SATConfig":
+        assert self.precision in (16, 32)
+        assert self.opt in ("sgd", "adam", "adamw")
+        assert self.grad_clip in ("value", "norm")
+        if self.scheduler is not None:
+            assert self.scheduler in ("step", "plateau", "exp", "cosine", "one_cycle")
+        if self.decoder_tf is not None:
+            assert self.decoder_tf in ("always", "linear", "inv_sigmoid", "exp")
+        if self.vocab_size is not None and self.label_smoothing:
+            # Smoothing of 0 is just regular cross entropy (reference: model.py:147)
+            assert 0 <= self.label_smoothing < (self.vocab_size - 1) / self.vocab_size
+        assert 0.0 <= self.aug_scale <= 1.0, "Invalid value for aug_scale. Choose in the range [0,1]."
+        return self
+
+
+def _add_bool_flag(p: argparse.ArgumentParser, name: str, help: str = ""):
+    p.add_argument(f"--{name}", default=False, action="store_true", help=help)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    """CLI mirroring reference train.py:16-165 flag-for-flag (minus --gpus, plus mesh flags)."""
+    p = argparse.ArgumentParser(description="SAT-TPU trainer")
+    d = SATConfig()
+    p.add_argument("--seed", default=d.seed, type=int)
+    p.add_argument("--name", default=d.name, type=str)
+    p.add_argument("--workers", default=d.workers, type=int)
+    _add_bool_flag(p, "benchmark")
+    p.add_argument("--precision", default=d.precision, type=int, choices=[16, 32])
+    p.add_argument("--json", type=str, required=False, default=None)
+    p.add_argument("--mean", nargs=3, default=list(d.mean), type=float)
+    p.add_argument("--std", nargs=3, default=list(d.std), type=float)
+    _add_bool_flag(p, "bucket_sampler")
+    p.add_argument("--encoder_arch", default=d.encoder_arch, type=str)
+    p.add_argument("--input_size", default=d.input_size, type=int)
+    _add_bool_flag(p, "pretrained")
+    p.add_argument("--pretrained_weights", default=None, type=str)
+    p.add_argument("--encoder_finetune_after", default=d.encoder_finetune_after, type=int)
+    p.add_argument("--encoder_dim", default=None, type=int)
+    p.add_argument("--encoder_size", default=None, type=int)
+    p.add_argument("--embed_dim", default=d.embed_dim, type=int)
+    p.add_argument("--embed_norm", default=None, type=float)
+    p.add_argument("--attention_dim", default=d.attention_dim, type=int)
+    p.add_argument("--decoder_dim", default=d.decoder_dim, type=int)
+    p.add_argument("--decoder_layers", default=d.decoder_layers, type=int)
+    p.add_argument("--decoder_tf", default=None, type=str,
+                   choices=["always", "linear", "inv_sigmoid", "exp"])
+    p.add_argument("--decoder_tf_min", default=d.decoder_tf_min, type=float)
+    p.add_argument("--batch", default=d.batch, type=int)
+    p.add_argument("--accumulate", default=d.accumulate, type=int)
+    p.add_argument("--epochs", default=d.epochs, type=int)
+    p.add_argument("--opt", default=d.opt, type=str, choices=["sgd", "adam", "adamw"])
+    p.add_argument("--encoder_lr", default=d.encoder_lr, type=float)
+    p.add_argument("--decoder_lr", default=d.decoder_lr, type=float)
+    p.add_argument("--embedding_lr", default=d.embedding_lr, type=float)
+    p.add_argument("--lr_warmup_steps", default=d.lr_warmup_steps, type=int)
+    p.add_argument("--momentum", default=d.momentum, type=float)
+    _add_bool_flag(p, "nesterov")
+    p.add_argument("--weight_decay", default=d.weight_decay, type=float)
+    p.add_argument("--adam_b1", default=d.adam_b1, type=float)
+    p.add_argument("--adam_b2", default=d.adam_b2, type=float)
+    p.add_argument("--grad_clip", default=d.grad_clip, type=str, choices=["value", "norm"])
+    p.add_argument("--clip_value", default=d.clip_value, type=float)
+    p.add_argument("--min_lr", default=d.min_lr, type=float)
+    p.add_argument("--scheduler", default=None, type=str,
+                   choices=["step", "plateau", "exp", "cosine", "one_cycle"])
+    p.add_argument("--lr_gamma", default=d.lr_gamma, type=float)
+    p.add_argument("--milestones", nargs="+", default=list(d.milestones), type=int)
+    p.add_argument("--plateau_patience", default=d.plateau_patience, type=int)
+    p.add_argument("--plateau_monitor", default=d.plateau_monitor, type=str, choices=list(METRIC_CHOICES))
+    p.add_argument("--cosine_iterations", default=d.cosine_iterations, type=float)
+    p.add_argument("--cosine_multi", default=d.cosine_multi, type=int)
+    p.add_argument("--one_cycle_pct", default=d.one_cycle_pct, type=float)
+    p.add_argument("--one_cycle_div", default=d.one_cycle_div, type=float)
+    p.add_argument("--one_cycle_fdiv", default=d.one_cycle_fdiv, type=float)
+    p.add_argument("--val_interval", default=d.val_interval, type=int)
+    p.add_argument("--val_percent", default=d.val_percent, type=float)
+    p.add_argument("--val_beamk", default=d.val_beamk, type=int)
+    p.add_argument("--val_max_len", default=d.val_max_len, type=int)
+    p.add_argument("--save_top_k", default=d.save_top_k, type=int)
+    p.add_argument("--save_monitor", default=d.save_monitor, type=str, choices=list(METRIC_CHOICES))
+    p.add_argument("--early_stop_monitor", default=None, type=str, choices=list(METRIC_CHOICES))
+    p.add_argument("--early_stop_patience", default=d.early_stop_patience, type=int)
+    p.add_argument("--dropout", default=d.dropout, type=float)
+    p.add_argument("--embedding_dropout", default=d.embedding_dropout, type=float)
+    p.add_argument("--label_smoothing", default=d.label_smoothing, type=float)
+    _add_bool_flag(p, "weight_tying")
+    p.add_argument("--aug_scale", default=d.aug_scale, type=float)
+    p.add_argument("--aug_hflip", default=d.aug_hflip, type=float)
+    p.add_argument("--aug_color_jitter", default=d.aug_color_jitter, type=float)
+    p.add_argument("--aug_optical_strength", default=d.aug_optical_strength, type=float)
+    p.add_argument("--aug_noise_std", default=d.aug_noise_std, type=float)
+    _add_bool_flag(p, "deep_output")
+    p.add_argument("--att_gamma", default=d.att_gamma, type=float)
+    p.add_argument("--mesh_shape", nargs="+", default=list(d.mesh_shape), type=int)
+    return p
+
+
+def config_from_args(argv: Optional[Sequence[str]] = None) -> SATConfig:
+    args = build_arg_parser().parse_args(argv)
+    kw = vars(args)
+    for key in ("mean", "std", "milestones", "mesh_shape"):
+        kw[key] = tuple(kw[key])
+    return SATConfig(**kw).validate()

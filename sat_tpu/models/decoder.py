@@ -1,0 +1,190 @@
+"""SAT attention-LSTM decoder as pure-jnp functions over an explicit param pytree.
+
+TPU-native redesign of the reference decoder modules (reference: model.py:66-131
+InitLSTM/SoftAttention/DeepOutput; model.py:156-199 embedding/lstm/beta wiring).
+Design differences from the torch version, chosen for XLA/Pallas:
+
+* Explicit param dict instead of nn.Module attributes, so the fused Pallas
+  decoder-step kernel and beam-search gathers address weights directly.
+* Annotations arrive flattened as (B, L, D) — the README/experiments encoder
+  contract (reference: readme.md:117-124 FlattenShuffle; dev/dev_encoder.py:100) —
+  with the (h, w) grid shape carried separately for 2-D attention maps.
+* The encoder-side attention projection W_e·a is computed ONCE per image
+  (``attention_precompute``) instead of every timestep as the reference does
+  (reference: model.py:100 recomputes ``encoder_att(flattened)`` per step) — a
+  free hoist that removes a (B,L,D)x(D,A) matmul from the hot loop.
+
+Weight-init parity: torch Linear U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weight
+and bias; Embedding N(0,1) with the <PAD> row zeroed; beta bias = 1/fan_in
+(reference: model.py:191-192).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SATConfig
+from ..ops.lstm import init_lstm_params, lstm_stack_step
+
+
+def _linear_init(rng, in_dim, out_dim, bias=True, dtype=jnp.float32):
+    k = 1.0 / math.sqrt(in_dim)
+    r1, r2 = jax.random.split(rng)
+    p = {"w": jax.random.uniform(r1, (in_dim, out_dim), dtype, -k, k)}
+    if bias:
+        p["b"] = jax.random.uniform(r2, (out_dim,), dtype, -k, k)
+    return p
+
+
+def _linear(p, x):
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_decoder_params(rng: jax.Array, cfg: SATConfig,
+                        pretrained_embedding=None) -> Dict:
+    """Build the decoder param pytree.
+
+    Components map 1:1 to the reference modules:
+      embedding      <- nn.Embedding (model.py:158-168)
+      init_factorize, init_proj <- InitLSTM (model.py:66-81)
+      att_enc, att_dec, f_att   <- SoftAttention (model.py:84-109)
+      beta           <- gating scalar MLP (model.py:187-192)
+      lstm           <- nn.LSTM cell stack (model.py:175-180)
+      out_hidden, out_context, out_proj <- DeepOutput (model.py:112-131)
+    """
+    assert cfg.vocab_size is not None and cfg.encoder_dim is not None
+    V, E, D, A, H = (cfg.vocab_size, cfg.embed_dim, cfg.encoder_dim,
+                     cfg.attention_dim, cfg.decoder_dim)
+    rngs = jax.random.split(rng, 12)
+    params: Dict = {}
+
+    if pretrained_embedding is not None:
+        emb = jnp.asarray(pretrained_embedding, dtype=jnp.float32)
+        assert emb.shape == (V, E), f"pretrained embedding shape {emb.shape} != {(V, E)}"
+    else:
+        emb = jax.random.normal(rngs[0], (V, E), jnp.float32)
+        emb = emb.at[0].set(0.0)  # padding_idx=<PAD>=0 row zeroed
+    params["embedding"] = emb
+
+    # InitLSTM: factorize enc_dim->embed_dim then embed_dim->2*H*layers
+    params["init_factorize"] = _linear_init(rngs[1], D, E, bias=True)
+    params["init_proj"] = _linear_init(rngs[2], E, 2 * H * cfg.decoder_layers, bias=True)
+
+    # SoftAttention (all projections bias-free, reference: model.py:90-92)
+    params["att_enc"] = _linear_init(rngs[3], D, A, bias=False)
+    params["att_dec"] = _linear_init(rngs[4], H, A, bias=False)
+    params["f_att"] = _linear_init(rngs[5], A, 1, bias=False)
+
+    # beta gate with bias = 1/fan_in (reference: model.py:191-192)
+    beta = _linear_init(rngs[6], H, D, bias=True)
+    beta["b"] = jnp.full((D,), 1.0 / H, jnp.float32)
+    params["beta"] = beta
+
+    params["lstm"] = init_lstm_params(rngs[7], E + D, H, cfg.decoder_layers)
+
+    # DeepOutput
+    params["out_hidden"] = _linear_init(rngs[8], H, E, bias=False)
+    if cfg.deep_output:
+        params["out_context"] = _linear_init(rngs[9], D, E, bias=False)
+    if not (cfg.weight_tying and cfg.deep_output):
+        # weight_tying reuses the embedding matrix and drops the bias
+        # (reference: model.py:123, 198-199)
+        params["out_proj"] = _linear_init(rngs[10], E, V, bias=not cfg.weight_tying)
+    return params
+
+
+# ---------------------------------------------------------------------------
+
+
+def embed_tokens(params: Dict, ids: jax.Array, cfg: SATConfig) -> jax.Array:
+    """Embedding lookup with optional max-L2-norm renormalization
+    (reference: model.py:158-163 nn.Embedding(max_norm=embed_norm))."""
+    vec = params["embedding"][ids]
+    if cfg.embed_norm is not None:
+        norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, cfg.embed_norm / jnp.maximum(norm, 1e-7))
+        vec = vec * scale
+    return vec
+
+
+def _dropout(x, rate, rng):
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def init_lstm_state(params: Dict, annotations: jax.Array, cfg: SATConfig,
+                    dropout_rng: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+    """Sec 3.1.2 init from mean annotations (reference: model.py:76-81).
+
+    annotations: (B, L, D) -> h, c each (layers, B, H)."""
+    mean = annotations.mean(axis=1)
+    mean = _dropout(mean, cfg.dropout, dropout_rng)
+    init = _linear(params["init_proj"], _linear(params["init_factorize"], mean))
+    b = mean.shape[0]
+    init = init.reshape(b, 2 * cfg.decoder_layers, cfg.decoder_dim)
+    init = jnp.moveaxis(init, 0, 1)  # (2*layers, B, H)
+    return init[: cfg.decoder_layers], init[cfg.decoder_layers:]
+
+
+def attention_precompute(params: Dict, annotations: jax.Array) -> jax.Array:
+    """W_e·a for all locations, hoisted out of the time loop. (B,L,D)->(B,L,A)."""
+    return _linear(params["att_enc"], annotations)
+
+
+def soft_attention(params: Dict, att_enc: jax.Array, annotations: jax.Array,
+                   hidden: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Additive attention with the repo's 1/sqrt(L) logit scale
+    (reference: model.py:94-109).  Returns (zt (B,D), alpha (B,L))."""
+    L = annotations.shape[1]
+    att_dec = _linear(params["att_dec"], hidden)[:, None, :]        # (B,1,A)
+    att = _linear(params["f_att"], jnp.tanh(att_enc + att_dec))     # (B,L,1)
+    att = att[..., 0] * (L ** -0.5)
+    alpha = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(att.dtype)
+    zt = jnp.einsum("bl,bld->bd", alpha, annotations)
+    return zt, alpha
+
+
+def beta_gate(params: Dict, hidden: jax.Array) -> jax.Array:
+    """Sec 4.2.1 gating scalar beta = sigmoid(W h + b) (reference: model.py:187-192)."""
+    return jax.nn.sigmoid(_linear(params["beta"], hidden))
+
+
+def deep_output(params: Dict, cfg: SATConfig, prev_embed: jax.Array,
+                hidden: jax.Array, context: jax.Array,
+                dropout_rng: Optional[jax.Array] = None) -> jax.Array:
+    """Eq. 7 deep output layer (reference: model.py:125-131). Returns (B, V) logits."""
+    if cfg.deep_output:
+        x = jnp.tanh(prev_embed + _linear(params["out_hidden"], hidden)
+                     + _linear(params["out_context"], context))
+    else:
+        x = _linear(params["out_hidden"], hidden)
+    x = _dropout(x, cfg.dropout, dropout_rng)
+    if cfg.weight_tying and cfg.deep_output:
+        return jnp.dot(x, params["embedding"].T, preferred_element_type=jnp.float32)
+    return _linear(params["out_proj"], x)
+
+
+def decoder_step(params: Dict, cfg: SATConfig, prev_embed: jax.Array,
+                 h: jax.Array, c: jax.Array, annotations: jax.Array,
+                 att_enc: jax.Array,
+                 dropout_rng: Optional[jax.Array] = None
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One decode timestep: attention -> beta gate -> LSTM -> deep output.
+
+    Mirrors the reference hot loop body (reference: model.py:298-327 inference,
+    model.py:526-548 training).  Returns (logits, h', c', zt, alpha)."""
+    zt, alpha = soft_attention(params, att_enc, annotations, h[-1])
+    beta = beta_gate(params, h[-1])
+    x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
+    h_new, c_new = lstm_stack_step(x, h, c, params["lstm"])
+    logits = deep_output(params, cfg, prev_embed, h_new[-1], zt, dropout_rng)
+    return logits, h_new, c_new, zt, alpha

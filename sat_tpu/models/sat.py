@@ -1,0 +1,116 @@
+"""Teacher-forced SAT forward pass + loss, as a single static-shape lax.scan.
+
+TPU-native replacement for the reference's ``SAT.train_batch`` Python timestep
+loop with its shrinking active batch (reference: model.py:474-557).  Differences,
+all XLA-dictated and numerically equivalent:
+
+* The per-step ``incomplete_idxs`` batch shrinking (model.py:510-513) becomes a
+  validity mask ``lengths > t``; every row computes every step, masked rows are
+  zeroed where they would have stayed unwritten.
+* ``pack_padded_sequence`` loss masking (model.py:553-554) becomes a
+  mask-weighted mean (ops/label_smoothing.py) — identical value.
+* Scheduled sampling draws ONE uniform per step for the whole batch, exactly
+  like the reference's ``torch.rand(1) <= epsilon`` (model.py:518), with the
+  hard-coded ``step <= 2`` ground-truth floor.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SATConfig
+from ..ops.label_smoothing import label_smoothing_loss, masked_token_accuracy
+from .decoder import (attention_precompute, decoder_step, embed_tokens,
+                      init_lstm_state, _dropout)
+
+
+def repeat_annotations(annotations: jax.Array, n_refs: int) -> jax.Array:
+    """repeat_interleave on the batch dim: one image forward reused for all
+    reference captions (reference: model.py:487; dev/todo.txt:51)."""
+    return jnp.repeat(annotations, n_refs, axis=0)
+
+
+def train_forward(params: Dict, cfg: SATConfig, annotations: jax.Array,
+                  encoded_captions: jax.Array, lengths: jax.Array,
+                  epsilon: jax.Array,
+                  rng: Optional[jax.Array] = None,
+                  train: bool = True) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Teacher-forced decode of a caption batch.
+
+    annotations: (N, L, D) — already repeated to match captions.
+    encoded_captions: (N, T) int32; lengths: (N,) int32 (targets per caption).
+    epsilon: scalar teacher-forcing probability.
+    Returns (logits (N, T-1, V), targets (N, T-1), alphas (N, T-1, L))."""
+    n, total_t = encoded_captions.shape
+    num_steps = total_t - 1
+    targets = encoded_captions[:, 1:]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+        train = False
+    rng_init, rng_tf, rng_drop = jax.random.split(rng, 3)
+
+    h, c = init_lstm_state(params, annotations, cfg,
+                           rng_init if train and cfg.dropout > 0 else None)
+    att_enc = attention_precompute(params, annotations)
+
+    # Per-step scalar coin flips for scheduled sampling (model.py:518)
+    coins = jax.random.uniform(rng_tf, (num_steps,)) <= epsilon
+    drop_rngs = jax.random.split(rng_drop, num_steps)
+
+    v = cfg.vocab_size
+    init_prev_logits = jnp.zeros((n, v), jnp.float32)
+
+    def step_fn(carry, xs):
+        h, c, prev_logits = carry
+        t, coin, drop_rng = xs
+        use_gt = jnp.logical_or(t <= 2, coin)
+        gt_words = jax.lax.dynamic_index_in_dim(encoded_captions, t, axis=1,
+                                                keepdims=False)
+        pred_words = jnp.argmax(prev_logits, axis=-1).astype(gt_words.dtype)
+        prev_words = jnp.where(use_gt, gt_words, pred_words)
+
+        prev_embed = embed_tokens(params, prev_words, cfg)
+        if train and cfg.embedding_dropout > 0:
+            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, drop_rng)
+
+        logits, h, c, _, alpha = decoder_step(
+            params, cfg, prev_embed, h, c, annotations, att_enc,
+            drop_rng if train and cfg.dropout > 0 else None)
+        logits = logits.astype(jnp.float32)
+
+        active = (lengths > t)[:, None]
+        alpha = jnp.where(active, alpha, 0.0)  # zeros where the ref never writes
+        return (h, c, logits), (logits, alpha)
+
+    ts = jnp.arange(num_steps)
+    (_, _, _), (logits, alphas) = jax.lax.scan(
+        step_fn, (h, c, init_prev_logits), (ts, coins, drop_rngs))
+    # scan stacks on axis 0 (time): -> (N, T-1, ...)
+    logits = jnp.moveaxis(logits, 0, 1)
+    alphas = jnp.moveaxis(alphas, 0, 1)
+    return logits, targets, alphas
+
+
+def sat_loss(cfg: SATConfig, logits: jax.Array, targets: jax.Array,
+             lengths: jax.Array, alphas: jax.Array) -> Dict[str, jax.Array]:
+    """Label-smoothed CE + doubly-stochastic attention loss + token accuracy
+    (reference: model.py:592-597)."""
+    num_steps = logits.shape[1]
+    mask = lengths[:, None] > jnp.arange(num_steps)[None, :]
+    ce = label_smoothing_loss(logits, targets, mask, cfg.label_smoothing)
+    # Sec 4.2.1 Eq. 14: mean over (batch, locations) of (1 - sum_t alpha)^2
+    att = jnp.mean((1.0 - alphas.sum(axis=1)) ** 2)
+    loss = ce + cfg.att_gamma * att
+    acc = masked_token_accuracy(logits, targets, mask)
+    return {"loss": loss, "ce_loss": ce, "att_loss": att, "accuracy": acc}
+
+
+def flatten_caption_batch(encoded_captions: jax.Array, lengths: jax.Array
+                          ) -> Tuple[jax.Array, jax.Array, int]:
+    """(B, R, T), (B, R) -> (B*R, T), (B*R,) (reference: model.py:490-492)."""
+    b, r, t = encoded_captions.shape
+    return encoded_captions.reshape(b * r, t), lengths.reshape(b * r), r
