@@ -1,0 +1,297 @@
+"""Fully-batched, fully-on-device beam search with static shapes.
+
+TPU-native redesign of the reference's inference stack (reference:
+model.py:237-472), which decodes ONE image at a time with a Python while-loop,
+dynamically shrinking beam width as sequences finish — the #1 performance gap
+called out in SURVEY.md §3.2.  Here the whole batch decodes in a single
+``lax.scan`` with ``(B, k)`` static shapes:
+
+* Beam retirement: in the reference a beam that emits <END> leaves the batch
+  and ``beamk`` shrinks (model.py:427-438).  Total finished beams per image is
+  therefore exactly the initial ``beamk``.  We keep every slot and mark it
+  ``finished``; a finished slot's only candidate is a "stay" entry with a huge
+  sentinel score, so flat top-k provably re-selects every finished slot and
+  fills the rest with the best live continuations — bit-equivalent to the
+  shrinking search.
+* Sampling modes (multinomial / topk, reference: model.py:360-379) are
+  implemented as Gumbel-top-k over the same log-weights, which samples k items
+  without replacement with exactly ``torch.multinomial``'s distribution.
+* Rescoring (LN / WR / BAR, reference: model.py:405-417) and perplexity are
+  applied post-scan from the raw cumulative logprob and the recorded finish
+  step; BAR's "average beam prob" is recorded at each beam's finish time from
+  the slots that were live that step, matching the shrinking-batch semantics.
+* Step-0 special case (all beams identical -> pick top-k words from beam 0,
+  always with plain top-k regardless of sample method; <END>/<UNK> masked —
+  reference: model.py:338-345) is folded in by masking rows 1..k-1 to -inf.
+* Decoder hidden noise ``h += N(0,1)·noise/(step+1)`` between attention and
+  LSTM (reference: model.py:322-324) and per-step temperature-list cycling
+  (reference: model.py:292, 330) are preserved.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SATConfig
+from ..models.decoder import (attention_precompute, embed_tokens,
+                              init_lstm_state, soft_attention, beta_gate,
+                              deep_output)
+from ..ops.lstm import lstm_stack_step
+
+NEG_INF = -1e9
+STAY_SCORE = 1e9  # sentinel: finished-slot "stay" candidates always win top-k
+
+
+class BeamResult(NamedTuple):
+    """Device-side decode result; (B, k) leading dims, host wrapper slices it."""
+    tokens: jax.Array        # (B, k, S+2) int32, row = <START> w... <END>/pads
+    lengths: jax.Array       # (B, k) int32 — caption word count == finish step
+    raw_scores: jax.Array    # (B, k) cumulative logprob at finish
+    scores: jax.Array        # (B, k) rescored scores (selection key)
+    perplexity: jax.Array    # (B, k) exp(-s/len)
+    alphas: jax.Array        # (B, k, S+1, L) attention maps per generated word
+
+
+def _gather_beams(x: jax.Array, parent: jax.Array, axis: int) -> jax.Array:
+    """Gather beam slots by parent index. parent: (B, k); x has beam dim at `axis`."""
+    # expand idx to x's rank with the (B, k) dims aligned at (axis-1, axis)
+    b_axis = axis - 1
+    idx = parent.reshape([parent.shape[0] if i == b_axis else
+                          parent.shape[1] if i == axis else 1
+                          for i in range(x.ndim)])
+    idx = jnp.broadcast_to(idx, x.shape[:axis] + (parent.shape[1],) + x.shape[axis + 1:])
+    return jnp.take_along_axis(x, idx, axis=axis)
+
+
+def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
+                *, beamk: int = 3, max_gen_length: int = 32,
+                temperature: Union[float, Sequence[float]] = 1.0,
+                sample_method: str = "beam", sample_topk: int = 3,
+                decoder_noise: Optional[float] = None,
+                rescore_method: Optional[str] = None,
+                rescore_reward: float = 0.5,
+                rng: Optional[jax.Array] = None) -> BeamResult:
+    """Batched beam/sampled search. annotations: (B, L, D)."""
+    assert sample_method in ("beam", "multinomial", "topk")
+    if not isinstance(temperature, (list, tuple)):
+        temperature = [temperature]
+    temps = jnp.asarray(temperature, jnp.float32)
+    n_temps = len(temperature)
+
+    b, L, d = annotations.shape
+    k, S = beamk, max_gen_length
+    v = cfg.vocab_size
+    vocab = cfg.vocab_stoi
+    pad_i, unk_i = int(vocab["<PAD>"]), int(vocab["<UNK>"])
+    start_i, end_i = int(vocab["<START>"]), int(vocab["<END>"])
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    # Shared (per-image) tensors — broadcast across beams instead of the
+    # reference's per-beam annotation copies (model.py:265-266, 398).
+    att_enc = attention_precompute(params, annotations)          # (B, L, A)
+
+    # Beam-expanded LSTM init: identical across beams.
+    h0, c0 = init_lstm_state(params, annotations, cfg)           # (layers, B, H)
+    h0 = jnp.repeat(h0[:, :, None], k, axis=2)                   # (layers, B, k, H)
+    c0 = jnp.repeat(c0[:, :, None], k, axis=2)
+
+    tokens0 = jnp.full((b, k, S + 2), pad_i, jnp.int32).at[:, :, 0].set(start_i)
+    scores0 = jnp.zeros((b, k), jnp.float32)
+    finished0 = jnp.zeros((b, k), bool)
+    flen0 = jnp.zeros((b, k), jnp.int32)
+    bar0 = jnp.zeros((b, k), jnp.float32)
+    alphas0 = jnp.zeros((b, k, S + 1, L), jnp.float32)
+
+    # Special-token masks on the vocab axis
+    always_mask = jnp.zeros((v,)).at[jnp.array([start_i, pad_i])].set(NEG_INF)
+    step0_mask = always_mask.at[jnp.array([end_i, unk_i])].set(NEG_INF)
+
+    step_rngs = jax.random.split(rng, (S + 1) * 2).reshape(S + 1, 2, 2)
+
+    def step_fn(carry, xs):
+        tokens, scores, finished, flen, bar, h, c, alphas = carry
+        t, rngs = xs
+        rng_noise, rng_gumbel = rngs[0], rngs[1]
+
+        prev_words = jax.lax.dynamic_index_in_dim(tokens, t, axis=2, keepdims=False)
+        prev_embed = embed_tokens(params, prev_words.reshape(b * k), cfg)  # (B*k, E)
+
+        hidden = h[-1].reshape(b * k, -1)
+        # attention over shared annotations (broadcast, no per-beam copy)
+        zt, alpha = soft_attention(
+            params,
+            att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1),
+            annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d),
+            hidden)
+        beta = beta_gate(params, hidden)
+        x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
+
+        h_in, c_in = h, c
+        if decoder_noise is not None and decoder_noise != 0.0:
+            # noise on hidden state only, decaying with step (model.py:322-324)
+            h_in = h + jax.random.normal(rng_noise, h.shape) * (
+                decoder_noise / (t + 1.0))
+        h_new, c_new = lstm_stack_step(
+            x, h_in.reshape(h.shape[0], b * k, -1), c_in.reshape(c.shape[0], b * k, -1),
+            params["lstm"])
+        logits = deep_output(params, cfg, prev_embed, h_new[-1], zt)  # (B*k, V)
+        h_new = h_new.reshape(h.shape)
+        c_new = c_new.reshape(c.shape)
+        alpha = alpha.reshape(b, k, L)
+
+        cur_temp = temps[t % n_temps]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32) / cur_temp, axis=-1)
+        logp = logp.reshape(b, k, v)
+        logp = logp + jnp.where(t == 0, step0_mask, always_mask)
+
+        seq_scores = scores[:, :, None] + logp                       # (B, k, V)
+
+        # ---- selection weights -------------------------------------------
+        tf = jnp.maximum(t.astype(jnp.float32), 1.0)
+        if sample_method == "beam":
+            sel = seq_scores
+        elif sample_method == "multinomial":
+            row = 20.0 * seq_scores / tf
+            sel = row - jax.scipy.special.logsumexp(row, axis=-1, keepdims=True)
+            sel = sel + jax.random.gumbel(rng_gumbel, sel.shape)
+        else:  # topk: restrict to per-row top sample_topk, then sample
+            kth = jax.lax.top_k(seq_scores, sample_topk)[0][..., -1:]
+            in_topk = seq_scores >= kth
+            sel = jnp.where(in_topk, seq_scores / tf, NEG_INF)
+            sel = sel + jax.random.gumbel(rng_gumbel, sel.shape) * (sel > NEG_INF / 2)
+        # plain top-k at step 0 regardless of method (model.py:338-345),
+        # with only beam row 0 active since all rows are identical
+        beam0_only = jnp.where(jnp.arange(k)[None, :, None] == 0, seq_scores, NEG_INF)
+        sel = jnp.where(t == 0, beam0_only, sel)
+
+        # finished slots offer exactly one "stay" candidate at column PAD
+        stay = jnp.full((b, k, v), NEG_INF).at[:, :, pad_i].set(STAY_SCORE)
+        sel = jnp.where(finished[:, :, None], stay, sel)
+
+        _, flat_idx = jax.lax.top_k(sel.reshape(b, k * v), k)        # (B, k)
+        parent = flat_idx // v
+        token = (flat_idx % v).astype(jnp.int32)
+
+        p_finished = jnp.take_along_axis(finished, parent, axis=1)
+        p_scores = jnp.take_along_axis(scores, parent, axis=1)
+        cand_scores = jnp.take_along_axis(
+            seq_scores.reshape(b, k * v), flat_idx, axis=1)
+        new_scores = jnp.where(p_finished, p_scores, cand_scores)
+        new_token = jnp.where(p_finished, pad_i, token)
+        newly_finished = jnp.logical_and(~p_finished, new_token == end_i)
+        new_finished = jnp.logical_or(p_finished, newly_finished)
+
+        new_flen = jnp.take_along_axis(flen, parent, axis=1)
+        new_flen = jnp.where(newly_finished, t, new_flen)
+        # BAR bonus uses -mean of the current beams' scores among slots that
+        # were live at this step, recorded at finish time (model.py:412-415)
+        live_now = ~p_finished
+        bar_mean = -(jnp.sum(jnp.where(live_now, new_scores, 0.0), axis=1)
+                     / jnp.maximum(jnp.sum(live_now, axis=1), 1))
+        new_bar = jnp.take_along_axis(bar, parent, axis=1)
+        new_bar = jnp.where(newly_finished, bar_mean[:, None], new_bar)
+
+        new_tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
+        new_tokens = jax.lax.dynamic_update_index_in_dim(
+            new_tokens, new_token, t + 1, axis=2)
+
+        new_h = _gather_beams(h_new, parent, axis=2)
+        new_c = _gather_beams(c_new, parent, axis=2)
+
+        new_alphas = jnp.take_along_axis(alphas, parent[:, :, None, None], axis=1)
+        step_alpha = jnp.take_along_axis(alpha, parent[:, :, None], axis=1)
+        new_alphas = jax.lax.dynamic_update_index_in_dim(
+            new_alphas, step_alpha, t, axis=2)
+
+        return (new_tokens, new_scores, new_finished, new_flen, new_bar,
+                new_h, new_c, new_alphas), None
+
+    ts = jnp.arange(S + 1)
+    (tokens, scores, finished, flen, bar, _, _, alphas), _ = jax.lax.scan(
+        step_fn, (tokens0, scores0, finished0, flen0, bar0, h0, c0, alphas0),
+        (ts, step_rngs))
+
+    # max_gen_length flush (model.py:441-446): incomplete beams keep score,
+    # length = S, BAR term = final live mean
+    final_live = ~finished
+    final_bar_mean = -(jnp.sum(jnp.where(final_live, scores, 0.0), axis=1)
+                       / jnp.maximum(jnp.sum(final_live, axis=1), 1))
+    flen = jnp.where(finished, flen, S)
+    bar = jnp.where(finished, bar, final_bar_mean[:, None])
+
+    lf = jnp.maximum(flen.astype(jnp.float32), 1.0)
+    if rescore_method == "LN":
+        rescored = scores / lf
+    elif rescore_method == "WR":
+        rescored = scores + rescore_reward * lf
+    elif rescore_method == "BAR":
+        rescored = scores + rescore_reward * bar
+    else:
+        rescored = scores
+    perplexity = jnp.exp(-scores / lf)
+
+    return BeamResult(tokens=tokens, lengths=flen, raw_scores=scores,
+                      scores=rescored, perplexity=perplexity, alphas=alphas)
+
+
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
+                  *, max_gen_length: int = 32,
+                  temperature: float = 1.0) -> BeamResult:
+    """Throughput fast path: beam width 1 without candidate machinery.
+
+    Equivalent to beam_search(beamk=1, sample_method="beam") but with a plain
+    per-step argmax — the kernel the >=5k imgs/sec/chip target is measured on."""
+    b, L, d = annotations.shape
+    S = max_gen_length
+    v = cfg.vocab_size
+    vocab = cfg.vocab_stoi
+    pad_i, unk_i = int(vocab["<PAD>"]), int(vocab["<UNK>"])
+    start_i, end_i = int(vocab["<START>"]), int(vocab["<END>"])
+
+    att_enc = attention_precompute(params, annotations)
+    h, c = init_lstm_state(params, annotations, cfg)
+
+    always_mask = jnp.zeros((v,)).at[jnp.array([start_i, pad_i])].set(NEG_INF)
+    step0_mask = always_mask.at[jnp.array([end_i, unk_i])].set(NEG_INF)
+
+    tokens0 = jnp.full((b, S + 2), pad_i, jnp.int32).at[:, 0].set(start_i)
+
+    def step_fn(carry, t):
+        tokens, scores, finished, flen, h, c = carry
+        prev_words = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
+        prev_embed = embed_tokens(params, prev_words, cfg)
+        zt, alpha = soft_attention(params, att_enc, annotations, h[-1])
+        beta = beta_gate(params, h[-1])
+        x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
+        h, c = lstm_stack_step(x, h, c, params["lstm"])
+        logits = deep_output(params, cfg, prev_embed, h[-1], zt)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+        logp = logp + jnp.where(t == 0, step0_mask, always_mask)
+        token = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        tok_logp = jnp.take_along_axis(logp, token[:, None], axis=1)[:, 0]
+        token = jnp.where(finished, pad_i, token)
+        scores = jnp.where(finished, scores, scores + tok_logp)
+        newly = jnp.logical_and(~finished, token == end_i)
+        flen = jnp.where(newly, t, flen)
+        finished = jnp.logical_or(finished, newly)
+        tokens = jax.lax.dynamic_update_index_in_dim(tokens, token, t + 1, axis=1)
+        return (tokens, scores, finished, flen, h, c), alpha
+
+    (tokens, scores, finished, flen, _, _), alphas = jax.lax.scan(
+        step_fn, (tokens0, jnp.zeros((b,)), jnp.zeros((b,), bool),
+                  jnp.zeros((b,), jnp.int32), h, c),
+        jnp.arange(S + 1))
+    flen = jnp.where(finished, flen, S)
+    lf = jnp.maximum(flen.astype(jnp.float32), 1.0)
+    alphas = jnp.moveaxis(alphas, 0, 1)  # (B, S+1, L)
+    return BeamResult(tokens=tokens[:, None], lengths=flen[:, None],
+                      raw_scores=scores[:, None], scores=(scores / lf)[:, None],
+                      perplexity=jnp.exp(-scores / lf)[:, None],
+                      alphas=alphas[:, None])
