@@ -1,0 +1,180 @@
+"""Runtime data pipeline: JSON-backed dataset, bucket sampler, batch loader.
+
+Mirrors the reference L1 layer (reference: util.py:16-87 CocoCaptionDataset +
+BucketSampler; train.py:244-259 DataLoader wiring) redesigned for TPU feeding:
+
+* Host does JPEG decode + aspect-preserving resize + crop to a STATIC
+  (input_size, input_size) uint8 array; all augmentation beyond cropping runs
+  on-device as jitted XLA ops (data/transforms.py) — the BASELINE.json north
+  star's host/device split.
+* Batches are fixed-shape; a thread-pool prefetcher overlaps decode with
+  device compute (replacing torch DataLoader workers, train.py:244-249).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..vocab import Vocab
+
+
+def pil_loader(path: str) -> Image.Image:
+    """RGB-converting loader (reference: util.py:137-138)."""
+    return Image.open(open(path, "rb")).convert("RGB")
+
+
+def load_resized_square(path: str, size: int, random_offset: bool = False,
+                        rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Decode -> resize shorter side to `size` -> square crop -> uint8 HWC.
+
+    Val: center crop (reference: train.py:208-212 Resize+CenterCrop).
+    Train: a random square position along the longer side, preserving the
+    translation diversity of torchvision's full-image RandomResizedCrop; the
+    scale/aspect jitter then happens on-device."""
+    img = pil_loader(path)
+    w, h = img.size
+    scale = size / min(w, h)
+    nw, nh = max(size, round(w * scale)), max(size, round(h * scale))
+    img = img.resize((nw, nh), Image.BILINEAR)
+    if random_offset and rng is not None:
+        left = int(rng.integers(0, nw - size + 1))
+        top = int(rng.integers(0, nh - size + 1))
+    else:
+        left, top = (nw - size) // 2, (nh - size) // 2
+    img = img.crop((left, top, left + size, top + size))
+    return np.asarray(img, np.uint8)
+
+
+class CaptionDataset:
+    """One split of the preprocessed JSON (reference: util.py:16-45)."""
+
+    def __init__(self, jsonpath_or_dict, split: str = "train"):
+        self.json = (json.load(open(jsonpath_or_dict))
+                     if isinstance(jsonpath_or_dict, str) else jsonpath_or_dict)
+        self.split = split
+        self.vocab = Vocab(self.json["vocab_stoi"])
+        sd = self.json[split]
+        self.img_paths: List[str] = sd["img_paths"]
+        self.encoded_captions = np.asarray(sd["encoded_captions"], np.int32)
+        self.lengths = np.asarray(sd["lengths"], np.int32)
+        assert len(self.img_paths) == len(self.encoded_captions) == len(self.lengths)
+
+    def __len__(self) -> int:
+        return len(self.img_paths)
+
+    @property
+    def max_cap_length(self) -> int:
+        return int(self.json["max_cap_length"])
+
+    @property
+    def num_refs(self) -> int:
+        return self.encoded_captions.shape[1]
+
+
+class BucketSampler:
+    """TF-style bucket-by-total-target-length sampler (reference: util.py:48-87).
+
+    Groups indices by the SUM of per-image caption lengths, emits longest
+    groups first (fail-fast on OOM, util.py:64-66), shuffles within
+    equal-length groups each epoch (util.py:77-84)."""
+
+    def __init__(self, lengths: np.ndarray, batch_size: int,
+                 indices: Optional[Sequence[int]] = None, seed: int = 0):
+        self.batch_size = batch_size
+        idxs = list(indices) if indices is not None else list(range(len(lengths)))
+        totals = np.asarray(lengths).sum(axis=1)
+        groups: Dict[int, List[int]] = {}
+        for i in idxs:
+            groups.setdefault(int(totals[i]), []).append(i)
+        self.grouped = [groups[k] for k in sorted(groups, reverse=True)]
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[int]:
+        out: List[int] = []
+        for g in self.grouped:
+            self._rng.shuffle(g)
+            out.extend(g)
+        return iter(out)
+
+    def __len__(self) -> int:
+        return sum(len(g) for g in self.grouped)
+
+
+class CaptionLoader:
+    """Fixed-shape batch iterator with threaded decode prefetch.
+
+    Yields dicts: images (B,S,S,3) uint8, captions (B,R,T) int32,
+    lengths (B,R) int32. Drops the trailing partial batch (static shapes)."""
+
+    def __init__(self, ds: CaptionDataset, batch_size: int, input_size: int,
+                 shuffle: bool = True, bucket: bool = False, seed: int = 0,
+                 workers: int = 0, train: bool = True, drop_last: bool = True):
+        self.ds = ds
+        self.batch_size = batch_size
+        self.input_size = input_size
+        self.shuffle = shuffle
+        self.bucket = bucket
+        self.workers = max(0, workers)
+        self.train = train
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._sampler = (BucketSampler(ds.lengths, batch_size, seed=seed)
+                         if bucket else None)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _order(self) -> List[int]:
+        if self._sampler is not None:
+            return list(iter(self._sampler))
+        order = list(range(len(self.ds)))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        return order
+
+    def _load_one(self, idx: int) -> np.ndarray:
+        return load_resized_square(self.ds.img_paths[idx], self.input_size,
+                                   random_offset=self.train, rng=self._rng)
+
+    def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+        imgs = np.stack([self._load_one(i) for i in idxs])
+        return {
+            "images": imgs,
+            "captions": self.ds.encoded_captions[list(idxs)],
+            "lengths": self.ds.lengths[list(idxs)],
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        n_batches = len(self)
+        batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+        if not self.drop_last and len(order) % self.batch_size:
+            batches.append(order[n_batches * self.batch_size:])
+        self._epoch += 1
+        if self.workers == 0:
+            for bidx in batches:
+                yield self._make_batch(bidx)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
+
+        def producer():
+            for bidx in batches:
+                q.put(self._make_batch(bidx))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item

@@ -1,0 +1,163 @@
+"""Caption evaluation metrics: corpus BLEU-1..4, GLEU, embedding cosine
+similarity, perplexity.
+
+Native implementations of the nltk metrics the reference calls (reference:
+model.py:646-682 score_captions; the from-paper prototype lives at
+dev/dev_corpus_metrics.py:6-55 and is validated against nltk — we follow the
+same strategy, with nltk as the test oracle).  BLEU follows Papineni et al.
+corpus BLEU exactly as nltk computes it (clipped modified precision summed over
+the corpus, closest-ref-length brevity penalty, zero score when any weighted
+precision is zero).  GLEU follows Wu et al. (min precision/recall over 1..4
+grams, best reference per sentence)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _ngrams(seq: Sequence, n: int):
+    return zip(*(seq[i:] for i in range(n)))
+
+
+def _count_ngrams(seq: Sequence, n: int) -> Counter:
+    return Counter(tuple(g) for g in _ngrams(seq, n))
+
+
+def _everygrams(seq: Sequence, lo: int, hi: int) -> Counter:
+    c: Counter = Counter()
+    for n in range(lo, hi + 1):
+        c.update(tuple(g) for g in _ngrams(seq, n))
+    return c
+
+
+def modified_precision(references: Sequence[Sequence], hypothesis: Sequence,
+                       n: int) -> Tuple[int, int]:
+    """Clipped n-gram match count and total (Papineni et al. Sec 2.1)."""
+    hyp_counts = _count_ngrams(hypothesis, n)
+    max_ref: Counter = Counter()
+    for ref in references:
+        for g, c in _count_ngrams(ref, n).items():
+            if c > max_ref[g]:
+                max_ref[g] = c
+    clipped = sum(min(c, max_ref[g]) for g, c in hyp_counts.items())
+    # nltk clamps the denominator to 1 for hypotheses shorter than n
+    return clipped, max(1, sum(hyp_counts.values()))
+
+
+def closest_ref_length(references: Sequence[Sequence], hyp_len: int) -> int:
+    """Closest reference length; ties break toward the shorter (nltk rule)."""
+    return min((abs(len(r) - hyp_len), len(r)) for r in references)[1]
+
+
+def corpus_bleu(list_of_references: Sequence[Sequence[Sequence]],
+                hypotheses: Sequence[Sequence],
+                weights: Sequence[float] = (0.25, 0.25, 0.25, 0.25)) -> float:
+    """Corpus BLEU matching nltk.translate.bleu_score.corpus_bleu (no smoothing)."""
+    assert len(list_of_references) == len(hypotheses)
+    max_n = len(weights)
+    num = [0] * (max_n + 1)
+    den = [0] * (max_n + 1)
+    hyp_len_total, ref_len_total = 0, 0
+    for refs, hyp in zip(list_of_references, hypotheses):
+        hyp_len_total += len(hyp)
+        ref_len_total += closest_ref_length(refs, len(hyp))
+        for n in range(1, max_n + 1):
+            if weights[n - 1] == 0:
+                continue
+            c, t = modified_precision(refs, hyp, n)
+            num[n] += c
+            den[n] += t
+    if num[1] == 0:
+        return 0.0
+    s = 0.0
+    for n in range(1, max_n + 1):
+        w = weights[n - 1]
+        if w == 0:
+            continue
+        if num[n] == 0:
+            return 0.0  # no smoothing: any zero precision kills the product
+        s += w * math.log(num[n] / den[n])
+    bp = 1.0 if hyp_len_total > ref_len_total else (
+        math.exp(1 - ref_len_total / max(hyp_len_total, 1))
+        if hyp_len_total > 0 else 0.0)
+    return bp * math.exp(s)
+
+
+def corpus_gleu(list_of_references: Sequence[Sequence[Sequence]],
+                hypotheses: Sequence[Sequence],
+                min_len: int = 1, max_len: int = 4) -> float:
+    """Corpus GLEU matching nltk.translate.gleu_score.corpus_gleu."""
+    assert len(list_of_references) == len(hypotheses)
+    n_match_total, n_all_total = 0, 0
+    for refs, hyp in zip(list_of_references, hypotheses):
+        hyp_counts = _everygrams(hyp, min_len, max_len)
+        tpfp = sum(hyp_counts.values())
+        candidates = []
+        for ref in refs:
+            ref_counts = _everygrams(ref, min_len, max_len)
+            tpfn = sum(ref_counts.values())
+            tp = sum((ref_counts & hyp_counts).values())
+            n_all = max(tpfp, tpfn)
+            if n_all > 0:
+                candidates.append((tp, n_all))
+        if candidates:
+            m, a = max(candidates, key=lambda x: x[0] / x[1])
+            n_match_total += m
+            n_all_total += a
+    return n_match_total / n_all_total if n_all_total else 0.0
+
+
+def embedding_cosine_similarity(embedding: np.ndarray,
+                                captions: Sequence[Sequence[int]],
+                                references: Sequence[Sequence[Sequence[int]]]
+                                ) -> float:
+    """Mean-embedding cosine metric (reference: model.py:660-673): mean caption
+    embedding vs the max-similarity reference mean embedding, averaged."""
+    sims = []
+    for cap, refs in zip(captions, references):
+        if len(cap) == 0:
+            sims.append(0.0)
+            continue
+        cv = embedding[np.asarray(cap)].mean(0)
+        best = -1.0
+        for ref in refs:
+            if len(ref) == 0:
+                continue
+            rv = embedding[np.asarray(ref)].mean(0)
+            denom = np.linalg.norm(cv) * np.linalg.norm(rv)
+            sim = float(cv @ rv / denom) if denom > 1e-8 else 0.0
+            best = max(best, sim)
+        sims.append(best)
+    return float(np.mean(sims)) if sims else 0.0
+
+
+def score_captions(captions: Sequence[Sequence[int]],
+                   encoded_captions: np.ndarray, lengths: np.ndarray,
+                   embedding: Optional[np.ndarray] = None,
+                   perplexities: Optional[List[float]] = None
+                   ) -> Dict[str, float]:
+    """Full validation metric bundle (reference: model.py:646-682).
+
+    encoded_captions: (B, R, T); lengths: (B, R).  References strip <START>
+    and trailing <END>/pads via c[1:l] (reference: model.py:648)."""
+    references = [
+        [list(map(int, refs[j][1:int(lengths[i][j])])) for j in range(len(refs))]
+        for i, refs in enumerate(np.asarray(encoded_captions))]
+    captions = [list(map(int, c)) for c in captions]
+    metrics = {
+        "bleu1": corpus_bleu(references, captions, (1, 0, 0, 0)),
+        "bleu2": corpus_bleu(references, captions, (0.5, 0.5, 0, 0)),
+        "bleu3": corpus_bleu(references, captions, (1 / 3, 1 / 3, 1 / 3, 0)),
+        "bleu4": corpus_bleu(references, captions, (0.25, 0.25, 0.25, 0.25)),
+        "gleu": corpus_gleu(references, captions),
+    }
+    if embedding is not None:
+        metrics["cosine_similarity"] = embedding_cosine_similarity(
+            np.asarray(embedding), captions, references)
+    if perplexities is not None and len(perplexities):
+        metrics["perplexity"] = float(sum(perplexities) / len(perplexities))
+    return metrics

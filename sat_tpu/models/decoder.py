@@ -106,7 +106,7 @@ def init_decoder_params(rng: jax.Array, cfg: SATConfig,
 def embed_tokens(params: Dict, ids: jax.Array, cfg: SATConfig) -> jax.Array:
     """Embedding lookup with optional max-L2-norm renormalization
     (reference: model.py:158-163 nn.Embedding(max_norm=embed_norm))."""
-    vec = params["embedding"][ids]
+    vec = jnp.take(params["embedding"], ids, axis=0)
     if cfg.embed_norm is not None:
         norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
         scale = jnp.minimum(1.0, cfg.embed_norm / jnp.maximum(norm, 1e-7))

@@ -1,0 +1,74 @@
+"""Full SAT model assembly: encoder (Flax) + decoder (explicit pytree).
+
+The checkpointable unit mirrors the reference's self-contained LightningModule
+(reference: model.py:134-199): params + full config + vocab travel together.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SATConfig
+from ..vocab import Vocab
+from .decoder import init_decoder_params
+from .encoder import SATEncoder, build_encoder
+
+
+class SATModel:
+    """Stateless model bundle: modules + static config. Params live outside."""
+
+    def __init__(self, cfg: SATConfig, grid_hw: Tuple[int, int]):
+        assert cfg.encoder_dim is not None and cfg.vocab_size is not None
+        self.cfg = cfg
+        self.grid_hw = grid_hw
+        self.vocab = Vocab(cfg.vocab_stoi)
+        self.encoder_train = SATEncoder(
+            arch=cfg.encoder_arch, mean=cfg.mean, std=cfg.std,
+            encoder_dim=cfg.encoder_dim, encoder_size=cfg.encoder_size, train=True)
+        self.encoder_eval = self.encoder_train.copy(train=False)
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def create(cls, cfg: SATConfig, rng: jax.Array,
+               pretrained_embedding: Optional[np.ndarray] = None
+               ) -> Tuple["SATModel", Dict[str, Any]]:
+        """Init a fresh model. Loads the pretrained GloVe matrix if the config
+        points at one (reference: model.py:165-168)."""
+        r_enc, r_dec = jax.random.split(rng)
+        _, enc_vars, cfg, grid = build_encoder(cfg, r_enc)
+        if pretrained_embedding is None and cfg.pretrained_embedding:
+            pretrained_embedding = np.load(cfg.pretrained_embedding)
+        dec_params = init_decoder_params(r_dec, cfg, pretrained_embedding)
+        model = cls(cfg, grid)
+        params = {
+            "encoder": enc_vars["params"],
+            "decoder": dec_params,
+        }
+        state = {"batch_stats": enc_vars.get("batch_stats", {})}
+        return model, {"params": params, "state": state}
+
+    # -- encoder forward ---------------------------------------------------
+
+    def encode(self, variables: Dict[str, Any], images: jax.Array,
+               train: bool = False):
+        """images (B, H, W, 3) in [0,1] -> annotations (B, L, D).
+
+        In train mode returns (annotations, new_batch_stats)."""
+        enc_vars = {"params": variables["params"]["encoder"],
+                    "batch_stats": variables["state"]["batch_stats"]}
+        if train:
+            annots, mutated = self.encoder_train.apply(
+                enc_vars, images, mutable=["batch_stats"])
+            return annots, mutated["batch_stats"]
+        return self.encoder_eval.apply(enc_vars, images)
+
+    def encode_features(self, variables: Dict[str, Any], images: jax.Array):
+        """4-D feature map path (flatten=False) for visualization."""
+        enc_vars = {"params": variables["params"]["encoder"],
+                    "batch_stats": variables["state"]["batch_stats"]}
+        return self.encoder_eval.apply(enc_vars, images, flatten=False)

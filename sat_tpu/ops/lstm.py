@@ -22,19 +22,21 @@ import jax.numpy as jnp
 
 
 def init_lstm_params(rng: jax.Array, input_dim: int, hidden_dim: int,
-                     num_layers: int, dtype=jnp.float32) -> List[Dict[str, jax.Array]]:
-    """torch nn.LSTM init: U(-1/sqrt(H), 1/sqrt(H)) for every weight and bias."""
+                     num_layers: int, dtype=jnp.float32) -> Dict[str, Dict[str, jax.Array]]:
+    """torch nn.LSTM init: U(-1/sqrt(H), 1/sqrt(H)) for every weight and bias.
+
+    Layers keyed "layer_<i>" (dict, not list, for msgpack checkpoint round-trips)."""
     k = 1.0 / math.sqrt(hidden_dim)
-    layers = []
+    layers = {}
     for layer in range(num_layers):
         in_dim = input_dim if layer == 0 else hidden_dim
         rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
-        layers.append({
+        layers[f"layer_{layer}"] = {
             "w_ih": jax.random.uniform(r1, (in_dim, 4 * hidden_dim), dtype, -k, k),
             "w_hh": jax.random.uniform(r2, (hidden_dim, 4 * hidden_dim), dtype, -k, k),
             "b_ih": jax.random.uniform(r3, (4 * hidden_dim,), dtype, -k, k),
             "b_hh": jax.random.uniform(r4, (4 * hidden_dim,), dtype, -k, k),
-        })
+        }
     return layers
 
 
@@ -53,7 +55,7 @@ def lstm_cell(x: jax.Array, h: jax.Array, c: jax.Array,
 
 
 def lstm_stack_step(x: jax.Array, h: jax.Array, c: jax.Array,
-                    layers: List[Dict[str, jax.Array]]) -> Tuple[jax.Array, jax.Array]:
+                    layers: Dict[str, Dict[str, jax.Array]]) -> Tuple[jax.Array, jax.Array]:
     """Single-timestep update of a multi-layer LSTM.
 
     x: (B, in); h, c: (num_layers, B, H).  Returns new (h, c).
@@ -61,7 +63,8 @@ def lstm_stack_step(x: jax.Array, h: jax.Array, c: jax.Array,
     """
     new_h, new_c = [], []
     inp = x
-    for l, p in enumerate(layers):
+    for l in range(len(layers)):
+        p = layers[f"layer_{l}"]
         hl, cl = lstm_cell(inp, h[l], c[l], p)
         new_h.append(hl)
         new_c.append(cl)

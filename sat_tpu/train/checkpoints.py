@@ -1,0 +1,139 @@
+"""Self-contained checkpointing: weights + optimizer state + full config +
+vocabulary in one file, exactly the deployment-artifact property of the
+reference's Lightning checkpoints (reference: model.py:142 save_hyperparameters
+bundles vocab_stoi/itos; SURVEY.md §3.3 — every tool reconstructs the model
+from the checkpoint alone).
+
+File format: msgpack (flax.serialization) with a JSON config header — a single
+`.ckpt` file like the reference's.  Managers replicate the reference callbacks:
+top-k by monitor with '{epoch}-{step}-{bleu4:.4f}' names + save_last
+(reference: train.py:180-188) and RestartCheckpoint snapshots whenever the LR
+*rises* after warmup, i.e. at each cosine warm restart (reference:
+util.py:167-183)."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+from ..config import SATConfig
+
+_MAGIC = b"SATTPU1\n"
+
+
+def save_checkpoint(path: str, cfg: SATConfig, tree: Dict[str, Any]) -> None:
+    """tree: {"params", "state", "opt_state"?, "step"?, "epoch"?, ...}."""
+    tree = jax.tree_util.tree_map(np.asarray, tree)
+    # to_state_dict converts tuples/namedtuples (optax states) to dicts
+    payload = serialization.msgpack_serialize(serialization.to_state_dict(tree))
+    header = cfg.to_json().encode()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        f.write(payload)
+
+
+def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
+                    ) -> Tuple[SATConfig, Dict[str, Any]]:
+    """Returns (config, tree).  With `target`, the tree is restored into the
+    target's exact pytree structure (needed for optax states)."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        assert magic == _MAGIC, f"not a SAT-TPU checkpoint: {path}"
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        cfg = SATConfig.from_json(f.read(hlen).decode())
+        payload = f.read()
+    if target is not None:
+        tree = serialization.from_bytes(target, payload)
+    else:
+        tree = serialization.msgpack_restore(payload)
+    return cfg, tree
+
+
+def load_model_from_checkpoint(path: str):
+    """Reconstruct (model, variables, extras) from the checkpoint alone —
+    the reference's SAT.load_from_checkpoint contract (SURVEY.md §3.3)."""
+    from ..models.encoder import probe_encoder
+    from ..models.model import SATModel
+
+    import jax.numpy as jnp
+
+    cfg, tree = load_checkpoint(path)
+    _, grid = probe_encoder(cfg)
+    model = SATModel(cfg, grid)
+    to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    variables = {"params": to_dev(tree["params"]), "state": to_dev(tree["state"])}
+    extras = {k: tree[k] for k in tree if k not in ("params", "state", "opt_state")}
+    extras["opt_state_raw"] = tree.get("opt_state")
+    return model, variables, extras
+
+
+class TopKCheckpointManager:
+    """ModelCheckpoint(mode=max, save_top_k, save_last) (reference:
+    train.py:180-188)."""
+
+    def __init__(self, dirpath: str, monitor: str = "bleu4", save_top_k: int = 1):
+        self.dirpath = dirpath
+        self.monitor = monitor
+        self.save_top_k = save_top_k
+        self.best: List[Tuple[float, str]] = []  # (value, path)
+        os.makedirs(dirpath, exist_ok=True)
+
+    @property
+    def best_value(self) -> Optional[float]:
+        return max(v for v, _ in self.best) if self.best else None
+
+    def on_validation_end(self, cfg: SATConfig, tree: Dict[str, Any],
+                          metrics: Dict[str, float], epoch: int, step: int) -> None:
+        if not metrics:
+            return
+        value = float(metrics.get(self.monitor, float("-inf")))
+        name = f"epoch={epoch}-step={step}-{self.monitor}={value:.4f}.ckpt"
+        path = os.path.join(self.dirpath, name)
+        if self.save_top_k <= 0:
+            pass
+        elif len(self.best) < self.save_top_k:
+            save_checkpoint(path, cfg, tree)
+            self.best.append((value, path))
+        else:
+            worst = min(self.best)
+            if value > worst[0]:
+                save_checkpoint(path, cfg, tree)
+                self.best.remove(worst)
+                if os.path.exists(worst[1]):
+                    os.remove(worst[1])
+                self.best.append((value, path))
+        # save_last=True: always refresh last.ckpt
+        save_checkpoint(os.path.join(self.dirpath, "last.ckpt"), cfg, tree)
+
+
+class RestartCheckpointManager:
+    """Snapshot on LR increase after warmup (reference: util.py:167-183)."""
+
+    def __init__(self, dirpath: str, warmup_steps: int = 0):
+        self.dirpath = dirpath
+        self.warmup_steps = warmup_steps
+        self.prev_lr = 0.0
+        os.makedirs(dirpath, exist_ok=True)
+
+    def on_train_batch_end(self, cfg: SATConfig, tree_fn, global_step: int,
+                           current_lr: float) -> Optional[str]:
+        """tree_fn: lazy () -> checkpoint tree (avoids host transfer unless saving)."""
+        if global_step <= self.warmup_steps:
+            return None
+        if self.prev_lr == 0.0:
+            self.prev_lr = current_lr
+        saved = None
+        if current_lr > self.prev_lr:
+            saved = os.path.join(self.dirpath, f"restart-{global_step}.ckpt")
+            save_checkpoint(saved, cfg, tree_fn())
+        self.prev_lr = current_lr
+        return saved

@@ -1,0 +1,255 @@
+"""Training engine: the TPU-native equivalent of the reference's Lightning
+Trainer wiring + SAT training/validation steps (reference: train.py:168-287,
+model.py:559-718).
+
+One jitted, mesh-partitioned train step does: on-device augmentation -> encoder
+-> teacher-forced decoder scan -> loss -> grads -> per-group-LR optax update.
+Data parallelism comes from sharding the batch on the mesh "data" axis; the
+gradient all-reduce is inserted by XLA (SURVEY.md §2.6).  Encoder finetuning
+gates (reference: model.py:584-586) are a static recompile boundary so the
+frozen phase never pays encoder backward FLOPs."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import SATConfig
+from ..data.dataset import CaptionDataset, CaptionLoader
+from ..data.transforms import build_train_augment, val_preprocess
+from ..decode.api import unpack_beam_result
+from ..decode.beam import beam_search
+from ..evalx.metrics import score_captions
+from ..models.model import SATModel
+from ..models.sat import (flatten_caption_batch, repeat_annotations, sat_loss,
+                          train_forward)
+from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
+from .checkpoints import (RestartCheckpointManager, TopKCheckpointManager,
+                          save_checkpoint)
+from .logging import MetricsLogger, next_version_dir
+from .optim import apply_group_lrs, build_optimizer
+from .schedules import LRScheduler
+from .tf_schedule import teacher_forcing_epsilon
+
+
+class Trainer:
+    def __init__(self, cfg: SATConfig, dataset: Optional[Any] = None,
+                 log_root: str = "logs"):
+        assert cfg.json is not None or dataset is not None
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+        # -- data (reference: train.py:235-259) --------------------------
+        self.train_ds = CaptionDataset(dataset if dataset is not None else cfg.json,
+                                       "train")
+        self.val_ds = CaptionDataset(self.train_ds.json, "val")
+
+        # dataset-derived config overrides (reference: train.py:238-242)
+        js = self.train_ds.json
+        cfg = cfg.replace(
+            vocab_stoi=self.train_ds.vocab.stoi_map,
+            vocab_size=js["vocab_size"],
+            embed_dim=js["embed_dim"] if js.get("embed_dim") else cfg.embed_dim,
+            pretrained_embedding=js.get("pretrained_embedding"),
+            max_cap_length=js["max_cap_length"])
+
+        self.train_loader = CaptionLoader(
+            self.train_ds, cfg.batch, cfg.input_size,
+            shuffle=not cfg.bucket_sampler, bucket=cfg.bucket_sampler,
+            seed=cfg.seed, workers=cfg.workers, train=True)
+        # keep the tail batch at val (each tail shape costs one extra compile)
+        self.val_loader = CaptionLoader(
+            self.val_ds, min(cfg.batch, len(self.val_ds)), cfg.input_size,
+            shuffle=False, bucket=cfg.bucket_sampler, seed=cfg.seed,
+            workers=cfg.workers, train=False, drop_last=False)
+        cfg = cfg.replace(train_loader_len=len(self.train_loader)).validate()
+
+        # -- model + optimizer -------------------------------------------
+        self.rng, r_init = jax.random.split(self.rng)
+        self.model, self.variables = SATModel.create(cfg, r_init)
+        self.cfg = cfg = self.model.cfg  # encoder_dim written back
+        self.tx, self.labels = build_optimizer(cfg, self.variables["params"])
+        if cfg.accumulate > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=cfg.accumulate)
+        self.opt_state = self.tx.init(self.variables["params"])
+
+        self.scheduler = LRScheduler(cfg, steps_per_epoch=len(self.train_loader))
+        self.augment = build_train_augment(cfg)
+
+        # -- mesh / sharding ----------------------------------------------
+        self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        self.variables = replicate_tree(self.variables, self.mesh)
+        self.opt_state = replicate_tree(self.opt_state, self.mesh)
+
+        # -- logging + callbacks (reference: train.py:174-203) ------------
+        self.logdir = next_version_dir(log_root, cfg.name)
+        self.logger = MetricsLogger(self.logdir)
+        self.ckpt = TopKCheckpointManager(self.logdir, cfg.save_monitor,
+                                          cfg.save_top_k)
+        self.restart_ckpt = RestartCheckpointManager(self.logdir,
+                                                     cfg.lr_warmup_steps)
+        self.early_stop_count = 0
+        self.early_stop_best: Optional[float] = None
+        self.should_stop = False
+
+        self.global_step = 0
+        self.current_epoch = 0
+        self._jit_train_step = jax.jit(
+            self._train_step, static_argnames=("train_encoder",),
+            donate_argnames=("variables", "opt_state"))
+        self._jit_val_decode = jax.jit(self._val_decode)
+
+    # ------------------------------------------------------------------
+
+    def _train_step(self, variables, opt_state, batch, lrs, epsilon, rng,
+                    *, train_encoder: bool):
+        rng_aug, rng_tf = jax.random.split(rng)
+        images = self.augment(rng_aug, batch["images"])
+        caps, lens, n_refs = flatten_caption_batch(batch["captions"],
+                                                   batch["lengths"])
+
+        def loss_fn(params):
+            vars_in = {"params": params, "state": variables["state"]}
+            annots, new_bs = self.model.encode(vars_in, images, train=True)
+            if not train_encoder:
+                annots = jax.lax.stop_gradient(annots)
+            annots = repeat_annotations(annots, n_refs)
+            logits, targets, alphas = train_forward(
+                params["decoder"], self.cfg, annots, caps, lens, epsilon,
+                rng_tf, train=True)
+            metrics = sat_loss(self.cfg, logits, targets, lens, alphas)
+            return metrics["loss"], (metrics, new_bs)
+
+        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+            variables["params"])
+        updates, opt_state = self.tx.update(grads, opt_state,
+                                            variables["params"])
+        updates = apply_group_lrs(updates, self.labels, lrs)
+        params = optax.apply_updates(variables["params"], updates)
+        return ({"params": params, "state": {"batch_stats": new_bs}},
+                opt_state, metrics)
+
+    def _val_decode(self, variables, images):
+        images = val_preprocess(images)
+        annots = self.model.encode(variables, images, train=False)
+        return beam_search(variables["params"]["decoder"], self.cfg, annots,
+                           beamk=self.cfg.val_beamk,
+                           max_gen_length=self.cfg.val_max_len,
+                           temperature=1.0, rescore_method="LN")
+
+    # ------------------------------------------------------------------
+
+    def _checkpoint_tree(self) -> Dict[str, Any]:
+        tree = {"params": self.variables["params"],
+                "state": self.variables["state"],
+                "opt_state": self.opt_state,
+                "step": self.global_step, "epoch": self.current_epoch}
+        return jax.device_get(tree)
+
+    def train_epoch(self) -> Dict[str, float]:
+        cfg = self.cfg
+        epoch_metrics: List[Dict[str, float]] = []
+        epsilon = teacher_forcing_epsilon(cfg, self.current_epoch)
+        enc_on = (cfg.encoder_finetune_after > 0 and cfg.encoder_lr > 0)
+        for batch in self.train_loader:
+            lrs = self.scheduler.current_lrs(self.global_step)
+            train_encoder = (enc_on
+                             and self.global_step >= cfg.encoder_finetune_after)
+            if not train_encoder:
+                lrs = dict(lrs, encoder=0.0)
+            self.rng, step_rng = jax.random.split(self.rng)
+            dbatch = shard_batch(batch, self.mesh)
+            self.variables, self.opt_state, metrics = self._jit_train_step(
+                self.variables, self.opt_state, dbatch,
+                {k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
+                jnp.asarray(epsilon, jnp.float32), step_rng,
+                train_encoder=train_encoder)
+            host_metrics = {k: float(v) for k, v in
+                            jax.device_get(metrics).items()}
+            host_metrics["epsilon_tf"] = float(epsilon)
+            self.logger.train_step(host_metrics, self.global_step)
+            epoch_metrics.append(host_metrics)
+            self.scheduler.on_train_batch_end(self.global_step)
+            self.restart_ckpt.on_train_batch_end(
+                cfg, self._checkpoint_tree, self.global_step, lrs["decoder"])
+            self.global_step += 1
+        means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                 for k in epoch_metrics[0]} if epoch_metrics else {}
+        self.scheduler.on_train_epoch_end(self.current_epoch)
+        self.logger.train_epoch(
+            means, self.current_epoch,
+            lr=self.scheduler.current_lrs(self.global_step)["decoder"])
+        return means
+
+    def validate(self) -> Dict[str, float]:
+        cfg = self.cfg
+        n_batches = len(self.val_loader)
+        limit = max(1, int(round(cfg.val_percent * n_batches)))
+        batch_metrics: List[Dict[str, float]] = []
+        embedding = np.asarray(
+            jax.device_get(self.variables["params"]["decoder"]["embedding"]))
+        n_dev = self.mesh.devices.size
+        for i, batch in enumerate(self.val_loader):
+            if i >= limit:
+                break
+            n = batch["images"].shape[0]
+            if n % n_dev:  # pad tail batch to the mesh size, slice after decode
+                pad = -n % n_dev
+                batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
+                         for k, v in batch.items()}
+            dbatch = shard_batch(batch, self.mesh)
+            res = self._jit_val_decode(self.variables, dbatch["images"])
+            caps, _, _, ppl = unpack_beam_result(
+                jax.device_get(res), self.model.grid_hw, return_all=False)
+            caps, ppl = caps[:n], ppl[:n]
+            m = score_captions(caps, batch["captions"][:n], batch["lengths"][:n],
+                               embedding=embedding, perplexities=ppl)
+            batch_metrics.append(m)
+        means = {k: float(np.mean([m[k] for m in batch_metrics]))
+                 for k in batch_metrics[0]} if batch_metrics else {}
+        self.logger.val_epoch(means, self.current_epoch)
+        # plateau scheduler steps on the monitored metric (model.py:716-718)
+        if cfg.plateau_monitor in means:
+            self.scheduler.on_validation_end(means[cfg.plateau_monitor],
+                                             self.global_step)
+        # checkpoint top-k + last (train.py:180-188)
+        self.ckpt.on_validation_end(cfg, self._checkpoint_tree(), means,
+                                    self.current_epoch, self.global_step)
+        # early stopping (train.py:195-203, mode max)
+        if cfg.early_stop_monitor is not None:
+            v = means.get(cfg.early_stop_monitor, float("-inf"))
+            if self.early_stop_best is None or v > self.early_stop_best:
+                self.early_stop_best = v
+                self.early_stop_count = 0
+            else:
+                self.early_stop_count += 1
+                if self.early_stop_count >= cfg.early_stop_patience:
+                    self.should_stop = True
+        return means
+
+    def fit(self) -> Dict[str, float]:
+        last_val: Dict[str, float] = {}
+        for epoch in range(self.cfg.epochs):
+            self.current_epoch = epoch
+            t0 = time.time()
+            train_means = self.train_epoch()
+            if (epoch + 1) % self.cfg.val_interval == 0:
+                last_val = self.validate()
+            dt = time.time() - t0
+            print(f"epoch {epoch}: loss={train_means.get('loss', float('nan')):.4f} "
+                  f"acc={train_means.get('accuracy', 0):.4f} "
+                  f"bleu4={last_val.get('bleu4', 0):.4f} ({dt:.1f}s)")
+            if self.should_stop:
+                break
+        # final save_last refresh
+        save_checkpoint(os.path.join(self.logdir, "last.ckpt"), self.cfg,
+                        self._checkpoint_tree())
+        self.logger.close()
+        return last_val

@@ -34,10 +34,10 @@ def test_lstm_cell_matches_torch():
     lstm = torch.nn.LSTM(input_size=in_dim, hidden_size=hidden, num_layers=layers, bias=True)
     with torch.no_grad():
         for l in range(layers):
-            getattr(lstm, f"weight_ih_l{l}").copy_(torch.tensor(np.array(params[l]["w_ih"]).T))
-            getattr(lstm, f"weight_hh_l{l}").copy_(torch.tensor(np.array(params[l]["w_hh"]).T))
-            getattr(lstm, f"bias_ih_l{l}").copy_(torch.tensor(np.array(params[l]["b_ih"])))
-            getattr(lstm, f"bias_hh_l{l}").copy_(torch.tensor(np.array(params[l]["b_hh"])))
+            getattr(lstm, f"weight_ih_l{l}").copy_(torch.tensor(np.array(params[f"layer_{l}"]["w_ih"]).T))
+            getattr(lstm, f"weight_hh_l{l}").copy_(torch.tensor(np.array(params[f"layer_{l}"]["w_hh"]).T))
+            getattr(lstm, f"bias_ih_l{l}").copy_(torch.tensor(np.array(params[f"layer_{l}"]["b_ih"])))
+            getattr(lstm, f"bias_hh_l{l}").copy_(torch.tensor(np.array(params[f"layer_{l}"]["b_hh"])))
 
     x = np.random.default_rng(1).normal(size=(b, in_dim)).astype(np.float32)
     h0 = np.random.default_rng(2).normal(size=(layers, b, hidden)).astype(np.float32)

@@ -1,0 +1,25 @@
+"""SAT-TPU training entry point (reference: train.py:16-292).
+
+Usage mirrors the reference CLI:
+    python train.py --json data/coco/128k256.json --batch 32 --epochs 60 \
+        --encoder_arch shufflenet_v2_x0_5 --pretrained --deep_output \
+        --decoder_tf inv_sigmoid --scheduler plateau ...
+"""
+
+from sat_tpu.config import config_from_args
+from sat_tpu.utils.seeding import seed_everything
+
+
+def main(argv=None):
+    cfg = config_from_args(argv)
+    seed_everything(cfg.seed)
+    from sat_tpu.train.loop import Trainer  # defer jax init until after seeding
+    print(f" * Effective Batch Size = {cfg.batch * cfg.accumulate}")
+    trainer = Trainer(cfg)
+    metrics = trainer.fit()
+    print("final validation:", metrics)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
