@@ -1,0 +1,114 @@
+"""Decode-hyperparameter random search -> CSV (reference: evaluate.ipynb
+cells 3-10): N random trials over beamk / temperature / sample method /
+decoder noise / rescore method+reward, each scored on a few test batches;
+results appended to a pandas CSV for scatter/correlation analysis."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def run_search(model, variables, ds, n_trials: int = 32, batches_per_trial: int = 4,
+               batch_size: int = 16, csv_path: str = "evaluations.csv",
+               max_gen_length: int = 32, seed: int = 0,
+               beamk_range=(5, 20), temp_range=(0.7, 1.2),
+               methods=("beam", "multinomial", "topk"),
+               noises=(None, 0.05, 0.1, 0.2),
+               rescores=(None, "LN", "WR", "BAR"),
+               rewards=(0.25, 0.5, 1.0, 2.0)):
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+    from ..data.dataset import CaptionLoader
+    from ..decode.api import caption_from_annotations
+    from ..evalx.metrics import score_captions
+
+    rng = random.Random(seed)
+    loader = CaptionLoader(ds, batch_size, model.cfg.input_size, shuffle=False,
+                           train=False, drop_last=True)
+    # pre-encode the evaluation batches once (one CNN pass per batch)
+    batches = []
+    for i, batch in enumerate(loader):
+        if i >= batches_per_trial:
+            break
+        images = jnp.asarray(batch["images"], jnp.float32) / 255.0
+        annots = jax.device_get(model.encode(variables, images, train=False))
+        batches.append((jnp.asarray(annots), batch))
+
+    embedding = np.asarray(jax.device_get(
+        variables["params"]["decoder"]["embedding"]))
+
+    rows: List[Dict] = []
+    for trial in range(n_trials):
+        params = {
+            "beamk": rng.choice(list(beamk_range)),
+            "temperature": round(rng.uniform(*temp_range), 3),
+            "sample_method": rng.choice(list(methods)),
+            "sample_topk": rng.choice([3, 5]),
+            "decoder_noise": rng.choice(list(noises)),
+            "rescore_method": rng.choice(list(rescores)),
+            "rescore_reward": rng.choice(list(rewards)),
+        }
+        t0 = time.time()
+        trial_metrics: List[Dict[str, float]] = []
+        for annots, batch in batches:
+            caps, _, _, ppl = caption_from_annotations(
+                variables["params"]["decoder"], model.cfg, annots,
+                model.grid_hw, max_gen_length=max_gen_length,
+                return_all=False, rng=jax.random.PRNGKey(trial), **params)
+            m = score_captions(caps, batch["captions"], batch["lengths"],
+                               embedding=embedding, perplexities=ppl)
+            trial_metrics.append(m)
+        means = {k: float(np.mean([m[k] for m in trial_metrics]))
+                 for k in trial_metrics[0]}
+        row = {**params, **means,
+               "seconds_per_batch": (time.time() - t0) / len(batches)}
+        rows.append(row)
+        print(f"trial {trial}: bleu4={means['bleu4']:.4f} gleu={means['gleu']:.4f} "
+              f"({row['seconds_per_batch']:.2f}s/batch) {params}")
+        df = pd.DataFrame(rows)
+        if os.path.exists(csv_path) and trial == 0:
+            old = pd.read_csv(csv_path)
+            df = pd.concat([old, df], ignore_index=True)
+        df.to_csv(csv_path, index=False)
+    return pd.DataFrame(rows)
+
+
+def correlation_report(csv_path: str) -> "object":
+    """Pearson correlation of decode params vs metrics (evaluate.ipynb cells 8-10)."""
+    import pandas as pd
+    df = pd.read_csv(csv_path)
+    num = df.select_dtypes("number")
+    return num.corr(method="pearson")
+
+
+def main(argv=None):
+    from ..data.dataset import CaptionDataset
+    from ..train.checkpoints import load_model_from_checkpoint
+
+    p = argparse.ArgumentParser(description="decode-param random search")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--json", default=None)
+    p.add_argument("--split", default="test")
+    p.add_argument("--trials", default=32, type=int)
+    p.add_argument("--batches", default=4, type=int)
+    p.add_argument("--batch_size", default=16, type=int)
+    p.add_argument("--csv", default="evaluations.csv")
+    p.add_argument("--seed", default=0, type=int)
+    a = p.parse_args(argv)
+    model, variables, _ = load_model_from_checkpoint(a.checkpoint)
+    ds = CaptionDataset(a.json or model.cfg.json, a.split)
+    run_search(model, variables, ds, n_trials=a.trials,
+               batches_per_trial=a.batches, batch_size=a.batch_size,
+               csv_path=a.csv, seed=a.seed)
+    print(correlation_report(a.csv))
+
+
+if __name__ == "__main__":
+    main()

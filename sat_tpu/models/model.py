@@ -50,7 +50,15 @@ class SATModel:
             "decoder": dec_params,
         }
         state = {"batch_stats": enc_vars.get("batch_stats", {})}
-        return model, {"params": params, "state": state}
+        variables = {"params": params, "state": state}
+        if cfg.pretrained and cfg.pretrained_weights:
+            # offline torchvision state_dict import (reference: model.py:20
+            # downloads pretrained weights; here zero-egress -> file-based)
+            from .torch_import import import_pretrained
+            variables = jax.tree_util.tree_map(
+                jnp.asarray, import_pretrained(cfg.encoder_arch,
+                                               cfg.pretrained_weights, variables))
+        return model, variables
 
     # -- encoder forward ---------------------------------------------------
 
