@@ -47,7 +47,7 @@ def build_model(arch: str, input_size: int, vocab_size: int, precision: int):
 
 def bench_batch(model, variables, batch: int, max_gen_length: int,
                 precision: int, k_small: int = 2, k_large: int = 10,
-                reps: int = 3):
+                reps: int = 3, fused: bool = True):
     """Honest device timing through the axon tunnel.
 
     Client-side completion signals (block_until_ready) through the relay fire
@@ -75,7 +75,8 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
             im, acc = carry
             annots = model.encode(variables, im, train=False)
             toks = greedy_decode(variables["params"]["decoder"], model.cfg,
-                                 annots, max_gen_length=max_gen_length).tokens
+                                 annots, max_gen_length=max_gen_length,
+                                 fused=fused).tokens
             acc = acc + toks.sum()
             im = im + (acc % 3).astype(im.dtype) * jnp.asarray(1e-4, im.dtype)
             return (im, acc)
@@ -105,9 +106,13 @@ def main(argv=None):
     p.add_argument("--batches", nargs="+", type=int, default=None)
     p.add_argument("--quick", action="store_true",
                    help="single small batch, fewer reps (CI smoke)")
+    p.add_argument("--no_fused", action="store_true",
+                   help="use the plain XLA decode path instead of the fused "
+                        "Pallas decoder-step kernel")
     args = p.parse_args(argv)
 
-    batches = args.batches or ([64] if args.quick else [256, 512, 1024])
+    # two sizes by default: each (batch, k) shape pays a pallas compile
+    batches = args.batches or ([64] if args.quick else [256, 512])
     k_large = 4 if args.quick else 10
 
     model, variables = build_model(args.arch, args.input_size,
@@ -117,7 +122,8 @@ def main(argv=None):
         try:
             v = bench_batch(model, variables, b, args.max_gen_length,
                             args.precision, k_small=2, k_large=k_large,
-                            reps=1 if args.quick else 3)
+                            reps=1 if args.quick else 3,
+                            fused=not args.no_fused)
         except Exception as e:  # OOM at large batch: report what fits
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
             continue
@@ -132,7 +138,8 @@ def main(argv=None):
         "config": {"arch": args.arch, "batch": best_b,
                    "input_size": args.input_size,
                    "max_gen_length": args.max_gen_length,
-                   "precision": args.precision, "vocab": args.vocab_size},
+                   "precision": args.precision, "vocab": args.vocab_size,
+                   "fused_kernel": not args.no_fused},
     }
     print(json.dumps(result))
     return result

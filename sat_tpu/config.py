@@ -126,6 +126,10 @@ class SATConfig:
     mesh_shape: Tuple[int, ...] = (-1,)        # -1 = all devices on the data axis
     mesh_axes: Tuple[str, ...] = ("data",)
 
+    # -- resume + profiling (reference: save_last=True resume-by-hand, train.py:187)
+    resume: Optional[str] = None               # checkpoint path to resume from
+    profile_dir: Optional[str] = None          # jax.profiler trace output dir
+
     # -- Data-derived fields (reference: train.py:238-242, 250; model.py:56)
     vocab_stoi: Optional[Dict[str, int]] = None
     vocab_size: Optional[int] = None
@@ -260,6 +264,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "deep_output")
     p.add_argument("--att_gamma", default=d.att_gamma, type=float)
     p.add_argument("--mesh_shape", nargs="+", default=list(d.mesh_shape), type=int)
+    p.add_argument("--resume", default=None, type=str,
+                   help="checkpoint path to resume training from")
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="write a jax.profiler trace of the first epoch here")
     return p
 
 

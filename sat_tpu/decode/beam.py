@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SATConfig
-from ..models.decoder import (attention_precompute, embed_tokens,
+from ..models.decoder import (attention_precompute, decoder_step, embed_tokens,
                               init_lstm_state, soft_attention, beta_gate,
                               deep_output)
 from ..ops.lstm import lstm_stack_step
@@ -243,11 +243,13 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
 
 def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
                   *, max_gen_length: int = 32,
-                  temperature: float = 1.0) -> BeamResult:
+                  temperature: float = 1.0, fused: bool = False) -> BeamResult:
     """Throughput fast path: beam width 1 without candidate machinery.
 
     Equivalent to beam_search(beamk=1, sample_method="beam") but with a plain
-    per-step argmax — the kernel the >=5k imgs/sec/chip target is measured on."""
+    per-step argmax — the kernel the >=5k imgs/sec/chip target is measured on.
+    With ``fused=True`` (single-layer LSTM only) the per-step compute runs in
+    the fused Pallas kernel (kernels/decoder_step.py)."""
     b, L, d = annotations.shape
     S = max_gen_length
     v = cfg.vocab_size
@@ -258,6 +260,25 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
     att_enc = attention_precompute(params, annotations)
     h, c = init_lstm_state(params, annotations, cfg)
 
+    if fused:
+        from ..kernels.decoder_step import (fused_decoder_step,
+                                            fused_output_logits,
+                                            fused_step_supported,
+                                            pack_fused_weights)
+        assert fused_step_supported(cfg), "fused path needs decoder_layers=1"
+        fw = pack_fused_weights(params, cfg, dtype=annotations.dtype)
+
+        def step_compute(prev_embed, h, c):
+            t, h1, c1, zt, alpha = fused_decoder_step(
+                fw, cfg, prev_embed, h[0], c[0], annotations, att_enc)
+            logits = fused_output_logits(params, cfg, t)
+            return logits, h1[None], c1[None], alpha
+    else:
+        def step_compute(prev_embed, h, c):
+            logits, h1, c1, _, alpha = decoder_step(
+                params, cfg, prev_embed, h, c, annotations, att_enc)
+            return logits, h1, c1, alpha
+
     always_mask = jnp.zeros((v,)).at[jnp.array([start_i, pad_i])].set(NEG_INF)
     step0_mask = always_mask.at[jnp.array([end_i, unk_i])].set(NEG_INF)
 
@@ -267,11 +288,7 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
         tokens, scores, finished, flen, h, c = carry
         prev_words = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
         prev_embed = embed_tokens(params, prev_words, cfg)
-        zt, alpha = soft_attention(params, att_enc, annotations, h[-1])
-        beta = beta_gate(params, h[-1])
-        x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
-        h, c = lstm_stack_step(x, h, c, params["lstm"])
-        logits = deep_output(params, cfg, prev_embed, h[-1], zt)
+        logits, h, c, alpha = step_compute(prev_embed, h, c)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
         logp = logp + jnp.where(t == 0, step0_mask, always_mask)
         token = jnp.argmax(logp, axis=-1).astype(jnp.int32)

@@ -41,6 +41,14 @@ def save_checkpoint(path: str, cfg: SATConfig, tree: Dict[str, Any]) -> None:
         f.write(payload)
 
 
+def read_checkpoint_config(path: str) -> SATConfig:
+    """Read only the JSON config header (cheap; no tensor payload)."""
+    with open(path, "rb") as f:
+        assert f.read(len(_MAGIC)) == _MAGIC, f"not a SAT-TPU checkpoint: {path}"
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        return SATConfig.from_json(f.read(hlen).decode())
+
+
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None
                     ) -> Tuple[SATConfig, Dict[str, Any]]:
     """Returns (config, tree).  With `target`, the tree is restored into the

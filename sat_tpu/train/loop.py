@@ -83,6 +83,22 @@ class Trainer:
         self.scheduler = LRScheduler(cfg, steps_per_epoch=len(self.train_loader))
         self.augment = build_train_augment(cfg)
 
+        self.global_step = 0
+        self.current_epoch = 0
+        if cfg.resume:
+            # self-contained resume: params + opt state + counters
+            # (reference: save_last=True resume-by-hand, train.py:187)
+            from .checkpoints import load_checkpoint
+            target = {"params": jax.device_get(self.variables["params"]),
+                      "state": jax.device_get(self.variables["state"]),
+                      "opt_state": jax.device_get(self.opt_state),
+                      "step": 0, "epoch": 0}
+            _, tree = load_checkpoint(cfg.resume, target=target)
+            self.variables = {"params": tree["params"], "state": tree["state"]}
+            self.opt_state = tree["opt_state"]
+            self.global_step = int(tree["step"])
+            self.current_epoch = int(tree["epoch"]) + 1
+
         # -- mesh / sharding ----------------------------------------------
         self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
         self.variables = replicate_tree(self.variables, self.mesh)
@@ -99,8 +115,6 @@ class Trainer:
         self.early_stop_best: Optional[float] = None
         self.should_stop = False
 
-        self.global_step = 0
-        self.current_epoch = 0
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("train_encoder",),
             donate_argnames=("variables", "opt_state"))
@@ -235,11 +249,15 @@ class Trainer:
         return means
 
     def fit(self) -> Dict[str, float]:
+        from ..utils.timing import maybe_profile
         last_val: Dict[str, float] = {}
-        for epoch in range(self.cfg.epochs):
+        first_epoch = self.current_epoch
+        for epoch in range(first_epoch, self.cfg.epochs):
             self.current_epoch = epoch
             t0 = time.time()
-            train_means = self.train_epoch()
+            with maybe_profile(self.cfg.profile_dir if epoch == first_epoch
+                               else None):
+                train_means = self.train_epoch()
             if (epoch + 1) % self.cfg.val_interval == 0:
                 last_val = self.validate()
             dt = time.time() - t0

@@ -12,6 +12,16 @@ from sat_tpu.utils.seeding import seed_everything
 
 def main(argv=None):
     cfg = config_from_args(argv)
+    if cfg.resume:
+        # Lightning-style resume: the model/optimizer structure comes from the
+        # checkpoint's stored config; only runtime knobs stay from the CLI.
+        from sat_tpu.train.checkpoints import read_checkpoint_config
+        ck = read_checkpoint_config(cfg.resume)
+        cfg = ck.replace(resume=cfg.resume, epochs=cfg.epochs, name=cfg.name,
+                         json=cfg.json or ck.json, workers=cfg.workers,
+                         val_interval=cfg.val_interval,
+                         val_percent=cfg.val_percent,
+                         profile_dir=cfg.profile_dir)
     seed_everything(cfg.seed)
     from sat_tpu.train.loop import Trainer  # defer jax init until after seeding
     print(f" * Effective Batch Size = {cfg.batch * cfg.accumulate}")
