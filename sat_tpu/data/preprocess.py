@@ -223,6 +223,65 @@ def make_synthetic_dataset(
     return path
 
 
+_COLORS = {
+    "red": (220, 40, 40), "green": (40, 200, 60), "blue": (50, 70, 220),
+    "yellow": (230, 220, 50), "purple": (160, 60, 200), "cyan": (60, 210, 210),
+    "orange": (240, 140, 30), "white": (235, 235, 235),
+}
+
+
+def make_learnable_dataset(out_dir: str, n_train: int = 96, n_val: int = 32,
+                           n_test: int = 32, image_size: int = 32,
+                           seed: int = 0, json_name: str = "colors") -> str:
+    """A synthetic captioning task the model can actually SOLVE: each image is
+    two colored halves, captioned '<left> on the left and <right> on the
+    right'.  Used by the learning test to demonstrate the full train->decode->
+    BLEU loop converges (the tiny-dataset analogue of the reference's smoke
+    runs, dev/todo.txt:63-81)."""
+    from PIL import Image
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(out_dir, "imgs"), exist_ok=True)
+    names = list(_COLORS)
+    words = names + "on the left and right".split()
+    vocab = Vocab.build(Counter({w: 100 for w in words}), min_count=5,
+                        max_vocab=None)
+    max_cap_length = 9
+
+    def make_split(n: int, tag: str):
+        img_paths, caps, lens = [], [], []
+        for i in range(n):
+            lc, rc = rng.choice(names), rng.choice(names)
+            arr = np.zeros((image_size, image_size, 3), np.uint8)
+            arr[:, : image_size // 2] = _COLORS[lc]
+            arr[:, image_size // 2:] = _COLORS[rc]
+            arr = np.clip(arr.astype(np.int16)
+                          + nprng.integers(-8, 9, arr.shape), 0, 255
+                          ).astype(np.uint8)
+            path = os.path.join(out_dir, "imgs", f"{tag}_{i}.png")
+            Image.fromarray(arr).save(path)
+            img_paths.append(path)
+            toks = f"{lc} on the left and {rc} on the right".split()
+            enc = vocab.encode(toks, max_cap_length)
+            caps.append([enc] * 5)
+            lens.append([len(toks) + 1] * 5)
+        return {"samples": n, "img_paths": img_paths,
+                "encoded_captions": caps, "lengths": lens}
+
+    output = {
+        "vocab_stoi": vocab.stoi_map, "vocab_size": vocab.size,
+        "embed_dim": None, "pretrained_embedding": None, "min_count": 5,
+        "max_cap_length": max_cap_length,
+        "train": make_split(n_train, "train"),
+        "val": make_split(n_val, "val"),
+        "test": make_split(n_test, "test"),
+    }
+    path = os.path.join(out_dir, f"{json_name}.json")
+    json.dump(output, open(path, "w"))
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="COCO caption preprocessing (SAT-TPU)")
     p.add_argument("--karpathy_json", required=True)

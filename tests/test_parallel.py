@@ -1,0 +1,89 @@
+"""Data-parallel correctness: the sharded train step over the 8-device mesh
+must produce the same parameter update as the single-device step on the same
+global batch (the all-reduce XLA inserts is exact up to fp reordering)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from sat_tpu.config import SATConfig
+from sat_tpu.models.model import SATModel
+from sat_tpu.models.sat import (flatten_caption_batch, repeat_annotations,
+                                sat_loss, train_forward)
+from sat_tpu.parallel.mesh import create_mesh, replicate_tree, shard_batch
+from sat_tpu.train.optim import apply_group_lrs, build_optimizer
+
+
+def make_setup():
+    v, T, S = 32, 6, 32
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    cfg = SATConfig(encoder_arch="shufflenet_v2_x0_5", input_size=S,
+                    vocab_size=v, vocab_stoi=stoi, embed_dim=8,
+                    attention_dim=8, decoder_dim=16, deep_output=True,
+                    batch=8)
+    model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
+    cfg = model.cfg
+    tx, labels = build_optimizer(cfg, variables["params"])
+
+    def train_step(variables, batch, rng):
+        images = batch["images"].astype(jnp.float32) / 255.0
+        caps, lens, n_refs = flatten_caption_batch(batch["captions"],
+                                                   batch["lengths"])
+
+        def loss_fn(params):
+            vars_in = {"params": params, "state": variables["state"]}
+            annots, new_bs = model.encode(vars_in, images, train=True)
+            annots = repeat_annotations(annots, n_refs)
+            logits, targets, alphas = train_forward(
+                params["decoder"], cfg, annots, caps, lens,
+                jnp.asarray(1.0), rng, train=True)
+            m = sat_loss(cfg, logits, targets, lens, alphas)
+            return m["loss"], m
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(variables["params"])
+        return grads, metrics["loss"]
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": rng.integers(0, 256, (8, S, S, 3)).astype(np.uint8),
+        "captions": rng.integers(1, v - 4, (8, 5, T)).astype(np.int32),
+        "lengths": rng.integers(2, T - 1, (8, 5)).astype(np.int32),
+    }
+    batch["captions"][:, :, 0] = v - 2
+    return cfg, variables, train_step, batch
+
+
+def test_dp8_matches_single_device():
+    cfg, variables, train_step, batch = make_setup()
+
+    # single device
+    mesh1 = create_mesh((1,), ("data",), jax.devices()[:1])
+    v1 = replicate_tree(jax.device_get(variables), mesh1)
+    b1 = shard_batch(batch, mesh1)
+    p1, l1 = jax.jit(train_step)(v1, b1, jax.random.PRNGKey(7))
+
+    # 8-device mesh
+    mesh8 = create_mesh((8,), ("data",), jax.devices())
+    v8 = replicate_tree(jax.device_get(variables), mesh8)
+    b8 = shard_batch(batch, mesh8)
+    p8, l8 = jax.jit(train_step)(v8, b8, jax.random.PRNGKey(7))
+
+    assert abs(float(l1) - float(l8)) < 1e-5
+    # compare the raw gradient trees: this is exactly what the mesh all-reduce
+    # produces; only fp summation-order noise may differ
+    flat1 = jax.tree_util.tree_leaves(jax.device_get(p1))
+    flat8 = jax.tree_util.tree_leaves(jax.device_get(p8))
+    for a, b in zip(flat1, flat8):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(max(np.abs(a).max(), 1e-3))
+        np.testing.assert_allclose(a, b, atol=max(5e-4 * scale, 2e-7), rtol=0)
+
+
+def test_batch_actually_sharded():
+    mesh8 = create_mesh((8,), ("data",), jax.devices())
+    x = np.zeros((16, 4), np.float32)
+    xs = shard_batch({"x": x}, mesh8)["x"]
+    assert len(xs.sharding.device_set) == 8
