@@ -73,7 +73,8 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
                 decoder_noise: Optional[float] = None,
                 rescore_method: Optional[str] = None,
                 rescore_reward: float = 0.5,
-                rng: Optional[jax.Array] = None) -> BeamResult:
+                rng: Optional[jax.Array] = None,
+                fused: bool = False) -> BeamResult:
     """Batched beam/sampled search. annotations: (B, L, D)."""
     assert sample_method in ("beam", "multinomial", "topk")
     if not isinstance(temperature, (list, tuple)):
@@ -112,6 +113,19 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
 
     step_rngs = jax.random.split(rng, (S + 1) * 2).reshape(S + 1, 2, 2)
 
+    noisy = decoder_noise is not None and decoder_noise != 0.0
+    use_fused = fused and cfg.decoder_layers == 1 and not noisy
+    if use_fused:
+        # the fused kernel computes attention/beta/LSTM from ONE hidden state;
+        # hidden noise splits them (noise applies only to the LSTM input
+        # hidden, model.py:322-326), so the noisy path stays on jnp
+        from ..kernels.decoder_step import (fused_decoder_step,
+                                            fused_output_logits,
+                                            pack_fused_weights)
+        fw = pack_fused_weights(params, cfg, dtype=annotations.dtype)
+        ann_flat = att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1)
+        annot_flat = annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d)
+
     def step_fn(carry, xs):
         tokens, scores, finished, flen, bar, h, c, alphas = carry
         t, rngs = xs
@@ -120,27 +134,35 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         prev_words = jax.lax.dynamic_index_in_dim(tokens, t, axis=2, keepdims=False)
         prev_embed = embed_tokens(params, prev_words.reshape(b * k), cfg)  # (B*k, E)
 
-        hidden = h[-1].reshape(b * k, -1)
-        # attention over shared annotations (broadcast, no per-beam copy)
-        zt, alpha = soft_attention(
-            params,
-            att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1),
-            annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d),
-            hidden)
-        beta = beta_gate(params, hidden)
-        x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
+        if use_fused:
+            tproj, h1, c1, zt, alpha = fused_decoder_step(
+                fw, cfg, prev_embed, h[0].reshape(b * k, -1),
+                c[0].reshape(b * k, -1), annot_flat, ann_flat)
+            logits = fused_output_logits(params, cfg, tproj)
+            h_new = h1.reshape(h.shape)
+            c_new = c1.reshape(c.shape)
+        else:
+            hidden = h[-1].reshape(b * k, -1)
+            # attention over shared annotations (broadcast, no per-beam copy)
+            zt, alpha = soft_attention(
+                params,
+                att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1),
+                annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d),
+                hidden)
+            beta = beta_gate(params, hidden)
+            x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
 
-        h_in, c_in = h, c
-        if decoder_noise is not None and decoder_noise != 0.0:
-            # noise on hidden state only, decaying with step (model.py:322-324)
-            h_in = h + jax.random.normal(rng_noise, h.shape) * (
-                decoder_noise / (t + 1.0))
-        h_new, c_new = lstm_stack_step(
-            x, h_in.reshape(h.shape[0], b * k, -1), c_in.reshape(c.shape[0], b * k, -1),
-            params["lstm"])
-        logits = deep_output(params, cfg, prev_embed, h_new[-1], zt)  # (B*k, V)
-        h_new = h_new.reshape(h.shape)
-        c_new = c_new.reshape(c.shape)
+            h_in, c_in = h, c
+            if noisy:
+                # noise on hidden state only, decaying with step (model.py:322-324)
+                h_in = h + jax.random.normal(rng_noise, h.shape) * (
+                    decoder_noise / (t + 1.0))
+            h_new, c_new = lstm_stack_step(
+                x, h_in.reshape(h.shape[0], b * k, -1),
+                c_in.reshape(c.shape[0], b * k, -1), params["lstm"])
+            logits = deep_output(params, cfg, prev_embed, h_new[-1], zt)  # (B*k, V)
+            h_new = h_new.reshape(h.shape)
+            c_new = c_new.reshape(c.shape)
         alpha = alpha.reshape(b, k, L)
 
         cur_temp = temps[t % n_temps]

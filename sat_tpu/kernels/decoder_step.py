@@ -132,7 +132,7 @@ def fused_step_supported(cfg: SATConfig) -> bool:
 def fused_decoder_step(fw: FusedWeights, cfg: SATConfig, prev_embed: jax.Array,
                        h: jax.Array, c: jax.Array, annotations: jax.Array,
                        att_enc: jax.Array, tile_n: int = 0,
-                       interpret: bool = False
+                       interpret: bool = None
                        ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """One fused decode step (minus the vocab projection).
 
@@ -142,6 +142,8 @@ def fused_decoder_step(fw: FusedWeights, cfg: SATConfig, prev_embed: jax.Array,
     n, L, d = annotations.shape
     e, hd = prev_embed.shape[-1], h.shape[-1]
     a = att_enc.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # pallas CPU = interpreter
     if tile_n <= 0:
         # pick the largest row tile whose working set fits ~12MB of VMEM
         import numpy as np
