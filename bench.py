@@ -106,9 +106,12 @@ def main(argv=None):
     p.add_argument("--batches", nargs="+", type=int, default=None)
     p.add_argument("--quick", action="store_true",
                    help="single small batch, fewer reps (CI smoke)")
-    p.add_argument("--no_fused", action="store_true",
-                   help="use the plain XLA decode path instead of the fused "
-                        "Pallas decoder-step kernel")
+    p.add_argument("--fused", default="off", choices=["off", "step", "loop"],
+                   help="Pallas decode kernels: 'step' = fused decoder-step, "
+                        "'loop' = whole-decode-loop kernel. Measured on v5e "
+                        "they tie (step) or trail (loop) the XLA scan path, "
+                        "which fuses this workload extremely well — default "
+                        "off (also avoids ~2min of Mosaic compiles)")
     args = p.parse_args(argv)
 
     # two sizes by default: each (batch, k) shape pays a pallas compile
@@ -123,7 +126,8 @@ def main(argv=None):
             v = bench_batch(model, variables, b, args.max_gen_length,
                             args.precision, k_small=2, k_large=k_large,
                             reps=1 if args.quick else 3,
-                            fused=not args.no_fused)
+                            fused={"off": False, "step": True,
+                                   "loop": "loop"}[args.fused])
         except Exception as e:  # OOM at large batch: report what fits
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
             continue
@@ -139,7 +143,7 @@ def main(argv=None):
                    "input_size": args.input_size,
                    "max_gen_length": args.max_gen_length,
                    "precision": args.precision, "vocab": args.vocab_size,
-                   "fused_kernel": not args.no_fused},
+                   "fused_kernel": args.fused},
     }
     print(json.dumps(result))
     return result

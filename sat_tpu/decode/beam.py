@@ -282,6 +282,23 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
     att_enc = attention_precompute(params, annotations)
     h, c = init_lstm_state(params, annotations, cfg)
 
+    if fused == "loop":
+        # whole decode loop in one Pallas kernel (kernels/greedy_loop.py)
+        from ..kernels.greedy_loop import (greedy_loop_decode,
+                                           greedy_loop_supported)
+        assert greedy_loop_supported(cfg, L), \
+            "greedy loop kernel: decoder_layers must be 1 and the weight set must fit VMEM"
+        tokens, alphas, scores, flen, finished = greedy_loop_decode(
+            params, cfg, annotations, att_enc, h[0], c[0],
+            max_gen_length=S, temperature=temperature)
+        flen = jnp.where(finished, flen, S)
+        lf = jnp.maximum(flen.astype(jnp.float32), 1.0)
+        return BeamResult(tokens=tokens[:, None], lengths=flen[:, None],
+                          raw_scores=scores[:, None],
+                          scores=(scores / lf)[:, None],
+                          perplexity=jnp.exp(-scores / lf)[:, None],
+                          alphas=alphas[:, None])
+
     if fused:
         from ..kernels.decoder_step import (fused_decoder_step,
                                             fused_output_logits,
@@ -311,10 +328,14 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
         prev_words = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
         prev_embed = embed_tokens(params, prev_words, cfg)
         logits, h, c, alpha = step_compute(prev_embed, h, c)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
-        logp = logp + jnp.where(t == 0, step0_mask, always_mask)
-        token = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-        tok_logp = jnp.take_along_axis(logp, token[:, None], axis=1)[:, 0]
+        # argmax + logsumexp instead of materializing the full (B, V) fp32
+        # log_softmax array (reference-parity: Z includes masked tokens,
+        # selection excludes them — model.py:330-340)
+        scaled = logits.astype(jnp.float32) / temperature
+        sel = scaled + jnp.where(t == 0, step0_mask, always_mask)
+        token = jnp.argmax(sel, axis=-1).astype(jnp.int32)
+        tok_logp = (jnp.take_along_axis(scaled, token[:, None], axis=1)[:, 0]
+                    - jax.scipy.special.logsumexp(scaled, axis=-1))
         token = jnp.where(finished, pad_i, token)
         scores = jnp.where(finished, scores, scores + tok_logp)
         newly = jnp.logical_and(~finished, token == end_i)
