@@ -30,6 +30,8 @@ def run_search(model, variables, ds, n_trials: int = 32, batches_per_trial: int 
     from ..evalx.metrics import score_captions
 
     rng = random.Random(seed)
+    if os.path.dirname(csv_path):
+        os.makedirs(os.path.dirname(csv_path), exist_ok=True)
     loader = CaptionLoader(ds, batch_size, model.cfg.input_size, shuffle=False,
                            train=False, drop_last=True)
     # pre-encode the evaluation batches once (one CNN pass per batch)
@@ -88,6 +90,56 @@ def correlation_report(csv_path: str) -> "object":
     return num.corr(method="pearson")
 
 
+def plot_search_results(csv_path: str, out_dir: str = ".") -> List[str]:
+    """Scatter matrix of decode params vs metrics + correlation heatmap
+    (reference: evaluate.ipynb cells 8-10 seaborn plots)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    metrics = [c for c in ("bleu4", "gleu", "cosine_similarity", "perplexity")
+               if c in df.columns]
+    params = [c for c in ("beamk", "temperature", "rescore_reward",
+                          "seconds_per_batch") if c in df.columns]
+    paths = []
+
+    fig, axes = plt.subplots(len(metrics), len(params),
+                             figsize=(4 * len(params), 3 * len(metrics)),
+                             squeeze=False)
+    for i, m in enumerate(metrics):
+        for j, p in enumerate(params):
+            ax = axes[i][j]
+            ax.scatter(df[p], df[m], s=12, alpha=0.7)
+            if i == len(metrics) - 1:
+                ax.set_xlabel(p)
+            if j == 0:
+                ax.set_ylabel(m)
+    fig.tight_layout()
+    sc = os.path.join(out_dir, "search_scatter.png")
+    fig.savefig(sc, dpi=100)
+    plt.close(fig)
+    paths.append(sc)
+
+    corr = df.select_dtypes("number").corr(method="pearson")
+    fig, ax = plt.subplots(figsize=(1 + 0.6 * len(corr),) * 2)
+    im = ax.imshow(corr.values, vmin=-1, vmax=1, cmap="RdBu_r")
+    ax.set_xticks(range(len(corr)), corr.columns, rotation=90)
+    ax.set_yticks(range(len(corr)), corr.columns)
+    for i in range(len(corr)):
+        for j in range(len(corr)):
+            ax.text(j, i, f"{corr.values[i, j]:.2f}", ha="center",
+                    va="center", fontsize=7)
+    fig.colorbar(im)
+    fig.tight_layout()
+    hm = os.path.join(out_dir, "search_correlation.png")
+    fig.savefig(hm, dpi=100)
+    plt.close(fig)
+    paths.append(hm)
+    return paths
+
+
 def main(argv=None):
     from ..data.dataset import CaptionDataset
     from ..train.checkpoints import load_model_from_checkpoint
@@ -101,6 +153,8 @@ def main(argv=None):
     p.add_argument("--batch_size", default=16, type=int)
     p.add_argument("--csv", default="evaluations.csv")
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--plot", action="store_true",
+                   help="save scatter matrix + correlation heatmap pngs")
     a = p.parse_args(argv)
     model, variables, _ = load_model_from_checkpoint(a.checkpoint)
     ds = CaptionDataset(a.json or model.cfg.json, a.split)
@@ -108,6 +162,9 @@ def main(argv=None):
                batches_per_trial=a.batches, batch_size=a.batch_size,
                csv_path=a.csv, seed=a.seed)
     print(correlation_report(a.csv))
+    if a.plot:
+        import os as _os
+        print("plots:", plot_search_results(a.csv, _os.path.dirname(a.csv) or "."))
 
 
 if __name__ == "__main__":

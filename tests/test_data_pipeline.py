@@ -1,0 +1,114 @@
+"""Data pipeline tests: bucket sampler semantics (reference: util.py:48-87,
+prototype dev/dev_bucket_sampler.py), loader shapes, device augmentations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sat_tpu.config import SATConfig
+from sat_tpu.data.dataset import (BucketSampler, CaptionDataset, CaptionLoader,
+                                  load_resized_square)
+from sat_tpu.data.preprocess import make_synthetic_dataset
+from sat_tpu.data.transforms import build_train_augment, val_preprocess
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    out = tmp_path_factory.mktemp("dp")
+    path = make_synthetic_dataset(str(out), n_train=24, n_val=6, n_test=6,
+                                  image_size=40, max_cap_length=10)
+    return CaptionDataset(path, "train")
+
+
+def test_bucket_sampler_longest_first_and_grouped():
+    lengths = np.array([[3, 4], [9, 9], [3, 4], [9, 9], [5, 5], [5, 5]])
+    s = BucketSampler(lengths, batch_size=2, seed=0)
+    order = list(iter(s))
+    totals = [int(lengths[i].sum()) for i in order]
+    # groups emitted longest-total first (OOM fail-fast, util.py:64-66)
+    assert totals == sorted(totals, reverse=True)
+    assert len(order) == 6 and set(order) == set(range(6))
+    # within-group shuffling varies across epochs but keeps group boundaries
+    order2 = list(iter(s))
+    totals2 = [int(lengths[i].sum()) for i in order2]
+    assert totals2 == totals
+
+
+def test_loader_shapes_and_determinism(ds):
+    loader = CaptionLoader(ds, batch_size=8, input_size=32, shuffle=True,
+                           seed=5, train=True)
+    batches = list(loader)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["images"].shape == (8, 32, 32, 3) and b["images"].dtype == np.uint8
+    assert b["captions"].shape == (8, 5, 12)  # max_cap_length 10 + START/END
+    assert b["lengths"].shape == (8, 5)
+
+
+def test_loader_bucket_mode(ds):
+    loader = CaptionLoader(ds, batch_size=4, input_size=32, bucket=True,
+                           shuffle=False, train=False)
+    seen = sum(1 for _ in loader)
+    assert seen == len(ds) // 4
+
+
+def test_loader_threaded_prefetch_equivalence(ds):
+    a = list(CaptionLoader(ds, 8, 32, shuffle=False, train=False, workers=0))
+    b = list(CaptionLoader(ds, 8, 32, shuffle=False, train=False, workers=2))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x["captions"], y["captions"])
+        np.testing.assert_array_equal(x["images"], y["images"])
+
+
+def test_load_resized_square(ds):
+    arr = load_resized_square(ds.img_paths[0], 24)
+    assert arr.shape == (24, 24, 3) and arr.dtype == np.uint8
+
+
+def test_augment_identity_when_disabled():
+    cfg = SATConfig(input_size=16, aug_scale=1.0, aug_hflip=0.0,
+                    aug_color_jitter=0.0, aug_optical_strength=0.0,
+                    aug_noise_std=0.0)
+    aug = build_train_augment(cfg)
+    imgs = np.random.default_rng(0).integers(0, 256, (2, 16, 16, 3),
+                                             dtype=np.uint8)
+    out = np.array(aug(jax.random.PRNGKey(0), jnp.asarray(imgs)))
+    np.testing.assert_allclose(out, imgs.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_augment_full_pipeline_shapes_and_range():
+    cfg = SATConfig(input_size=24, aug_scale=0.8, aug_hflip=0.5,
+                    aug_color_jitter=0.3, aug_optical_strength=0.4,
+                    aug_noise_std=0.02)
+    aug = jax.jit(build_train_augment(cfg))
+    imgs = np.random.default_rng(1).integers(0, 256, (4, 24, 24, 3),
+                                             dtype=np.uint8)
+    out1 = np.array(aug(jax.random.PRNGKey(1), jnp.asarray(imgs)))
+    out2 = np.array(aug(jax.random.PRNGKey(2), jnp.asarray(imgs)))
+    assert out1.shape == imgs.shape
+    assert np.isfinite(out1).all()
+    assert not np.allclose(out1, out2)  # stochastic
+    # ex-noise values stay near [0,1]
+    assert out1.min() > -0.2 and out1.max() < 1.2
+
+
+def test_hflip_is_exact_mirror():
+    cfg = SATConfig(input_size=8, aug_scale=1.0, aug_hflip=0.999,
+                    aug_color_jitter=0.0, aug_optical_strength=0.0,
+                    aug_noise_std=0.0)
+    aug = build_train_augment(cfg)
+    imgs = np.zeros((1, 8, 8, 3), np.uint8)
+    imgs[0, :, 0, :] = 255  # left column lit
+    # hflip prob .999: overwhelmingly flipped
+    for seed in range(5):
+        out = np.array(aug(jax.random.PRNGKey(seed), jnp.asarray(imgs)))
+        if out[0, 4, 7, 0] > 0.9 and out[0, 4, 0, 0] < 0.1:
+            return
+    raise AssertionError("hflip never produced a mirror")
+
+
+def test_val_preprocess():
+    imgs = np.full((2, 4, 4, 3), 255, np.uint8)
+    out = np.array(val_preprocess(jnp.asarray(imgs)))
+    np.testing.assert_allclose(out, 1.0)
