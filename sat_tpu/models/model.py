@@ -80,3 +80,23 @@ class SATModel:
         enc_vars = {"params": variables["params"]["encoder"],
                     "batch_stats": variables["state"]["batch_stats"]}
         return self.encoder_eval.apply(enc_vars, images, flatten=False)
+
+    # -- inference API (reference: SAT.caption at model.py:214-235) --------
+
+    def caption(self, variables: Dict[str, Any], images: jax.Array,
+                beamk: int = 3, max_gen_length: int = 32, temperature=1.0,
+                sample_method: str = "beam", sample_topk: int = 3,
+                decoder_noise: Optional[float] = None,
+                rescore_method: Optional[str] = None,
+                rescore_reward: float = 0.5, return_all: bool = False,
+                rng: Optional[jax.Array] = None):
+        """images (B, H, W, 3) [0,1] -> (captions, scores, alphas, perplexity)
+        python lists, the reference's exact output contract."""
+        from ..decode.api import caption_from_annotations
+        annots = self.encode(variables, images, train=False)
+        return caption_from_annotations(
+            variables["params"]["decoder"], self.cfg, annots, self.grid_hw,
+            beamk=beamk, max_gen_length=max_gen_length, temperature=temperature,
+            sample_method=sample_method, sample_topk=sample_topk,
+            decoder_noise=decoder_noise, rescore_method=rescore_method,
+            rescore_reward=rescore_reward, return_all=return_all, rng=rng)

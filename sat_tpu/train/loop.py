@@ -128,15 +128,27 @@ class Trainer:
         images = self.augment(rng_aug, batch["images"])
         caps, lens, n_refs = flatten_caption_batch(batch["captions"],
                                                    batch["lengths"])
+        bf16_train = self.cfg.precision == 16
+        if bf16_train:
+            # TPU-native AMP (reference: precision=16 at train.py:277): bf16
+            # compute with fp32 master params — cast inside the loss so grads
+            # flow back to fp32; matmuls accumulate fp32; no loss scaling
+            # needed on TPU (bf16 exponent == fp32)
+            images = images.astype(jnp.bfloat16)
 
         def loss_fn(params):
-            vars_in = {"params": params, "state": variables["state"]}
+            cparams = params
+            if bf16_train:
+                cparams = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32 else x, params)
+            vars_in = {"params": cparams, "state": variables["state"]}
             annots, new_bs = self.model.encode(vars_in, images, train=True)
             if not train_encoder:
                 annots = jax.lax.stop_gradient(annots)
             annots = repeat_annotations(annots, n_refs)
             logits, targets, alphas = train_forward(
-                params["decoder"], self.cfg, annots, caps, lens, epsilon,
+                cparams["decoder"], self.cfg, annots, caps, lens, epsilon,
                 rng_tf, train=True)
             metrics = sat_loss(self.cfg, logits, targets, lens, alphas)
             return metrics["loss"], (metrics, new_bs)
@@ -168,10 +180,12 @@ class Trainer:
         return jax.device_get(tree)
 
     def train_epoch(self) -> Dict[str, float]:
+        from ..utils.timing import StepTimer
         cfg = self.cfg
         epoch_metrics: List[Dict[str, float]] = []
         epsilon = teacher_forcing_epsilon(cfg, self.current_epoch)
         enc_on = (cfg.encoder_finetune_after > 0 and cfg.encoder_lr > 0)
+        timer = StepTimer()
         for batch in self.train_loader:
             lrs = self.scheduler.current_lrs(self.global_step)
             train_encoder = (enc_on
@@ -188,6 +202,9 @@ class Trainer:
             host_metrics = {k: float(v) for k, v in
                             jax.device_get(metrics).items()}
             host_metrics["epsilon_tf"] = float(epsilon)
+            timer.tick(batch["images"].shape[0])
+            if timer.images_per_sec:
+                host_metrics["images_per_sec"] = timer.images_per_sec
             self.logger.train_step(host_metrics, self.global_step)
             epoch_metrics.append(host_metrics)
             self.scheduler.on_train_batch_end(self.global_step)
