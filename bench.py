@@ -120,6 +120,18 @@ def main(argv=None):
 
     model, variables = build_model(args.arch, args.input_size,
                                    args.vocab_size, args.precision)
+
+    # secondary metric: p50 single-image caption latency (the reference's
+    # serial per-image loop prints "Inference in ... ms" — visualize.ipynb)
+    if not args.quick:
+        try:
+            lat = bench_batch(model, variables, 1, args.max_gen_length,
+                              args.precision, k_small=2, k_large=42, reps=3)
+            print(f"# p50 single-image caption latency: {1e3/lat:.3f} ms",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# latency probe failed: {type(e).__name__}", file=sys.stderr)
+
     best, best_b = 0.0, 0
     for b in batches:
         try:
