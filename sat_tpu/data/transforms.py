@@ -112,18 +112,24 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
         (r_rrc, r_flip, r_cb, r_cc, r_cs, r_ch, r_opt, r_choice,
          r_noise) = jax.random.split(rng, 9)
 
-        # ---- geometry: compose crop * flip * optical into one homography
-        if cfg.aug_scale == 1.0:
-            theta = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
-        else:
-            theta = _rrc_theta(r_rrc, b, cfg.aug_scale)
-        if 0.0 < cfg.aug_hflip < 1.0:
-            flip = jax.random.bernoulli(r_flip, cfg.aug_hflip, (b,))
-            fsign = jnp.where(flip, -1.0, 1.0)
-            fmat = jnp.eye(3)[None] * jnp.stack(
-                [fsign, jnp.ones((b,)), jnp.ones((b,))], -1)[:, :, None]
-            theta = jnp.einsum("bij,bjk->bik", theta, fmat)
-        if 0.0 < cfg.aug_optical_strength <= 1.0:
+        # ---- geometry ------------------------------------------------------
+        use_optical = 0.0 < cfg.aug_optical_strength <= 1.0
+        use_crop = cfg.aug_scale != 1.0
+        use_flip = 0.0 < cfg.aug_hflip < 1.0
+        if use_optical:
+            # general warps: compose crop * flip * optical into one homography
+            # and resample once (pointwise gathers — only paid when optical
+            # augs are on; the reference default has them off)
+            if use_crop:
+                theta = _rrc_theta(r_rrc, b, cfg.aug_scale)
+            else:
+                theta = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+            if use_flip:
+                flip = jax.random.bernoulli(r_flip, cfg.aug_hflip, (b,))
+                fsign = jnp.where(flip, -1.0, 1.0)
+                fmat = jnp.eye(3)[None] * jnp.stack(
+                    [fsign, jnp.ones((b,)), jnp.ones((b,))], -1)[:, :, None]
+                theta = jnp.einsum("bij,bjk->bik", theta, fmat)
             s = cfg.aug_optical_strength
             t_persp = _perspective_theta(r_opt, b, 0.5 * s)
             t_aff = _affine_theta(r_opt, b, s)
@@ -134,11 +140,25 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
             t_opt = jnp.where((choice == 0)[:, None, None], t_persp,
                               jnp.where((choice == 1)[:, None, None], t_aff, t_rot))
             theta = jnp.einsum("bij,bjk->bik", theta, t_opt)
-        is_identity = (cfg.aug_scale == 1.0 and not (0.0 < cfg.aug_hflip < 1.0)
-                       and not (0.0 < cfg.aug_optical_strength <= 1.0))
-        if not is_identity:
             gy, gx = affine_grid(theta, (size, size), (size, size))
             x = grid_sample_bilinear(x, gy, gx)
+        else:
+            # axis-aligned crop+flip: SEPARABLE resampling (contiguous
+            # row/column gathers, ~40x faster than pointwise on TPU)
+            if use_crop:
+                theta = _rrc_theta(r_rrc, b, cfg.aug_scale)
+                cw, tx = theta[:, 0, 0], theta[:, 0, 2]
+                ch, ty = theta[:, 1, 1], theta[:, 1, 2]
+                centers = (jnp.arange(size, dtype=jnp.float32) + 0.5) / size * 2 - 1
+                mx = cw[:, None] * centers[None, :] + tx[:, None]
+                my = ch[:, None] * centers[None, :] + ty[:, None]
+                px = (mx + 1.0) * 0.5 * size - 0.5
+                py = (my + 1.0) * 0.5 * size - 0.5
+                from ..ops.image_ops import separable_resample
+                x = separable_resample(x, py, px)
+            if use_flip:
+                flip = jax.random.bernoulli(r_flip, cfg.aug_hflip, (b,))
+                x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
 
         # ---- color jitter (fixed order b->c->s->h; torchvision randomizes order)
         if cfg.aug_color_jitter != 0 and cfg.aug_color_jitter <= 1.0:

@@ -95,6 +95,81 @@ def train_forward(params: Dict, cfg: SATConfig, annotations: jax.Array,
     return logits, targets, alphas
 
 
+def train_forward_loss(params: Dict, cfg: SATConfig, annotations: jax.Array,
+                       encoded_captions: jax.Array, lengths: jax.Array,
+                       epsilon: jax.Array,
+                       rng: Optional[jax.Array] = None,
+                       train: bool = True) -> Dict[str, jax.Array]:
+    """Teacher-forced forward with the loss computed INSIDE the scan.
+
+    Numerically identical to train_forward + sat_loss, but never materializes
+    the (N, T, V) logits tensor: each step contributes its masked CE/accuracy
+    terms to scalar accumulators and its alpha to a running (N, L) sum, and
+    ``jax.checkpoint`` recomputes step intermediates in the backward pass.
+    On a v5e this removes >1 GB/step of HBM traffic at production batch sizes
+    (the logits stack + its gradient + the saved softmax residuals), which is
+    what actually bounds the reference-shaped training step."""
+    n, total_t = encoded_captions.shape
+    num_steps = total_t - 1
+    targets = encoded_captions[:, 1:]
+    v = cfg.vocab_size
+    confidence = 1.0 - cfg.label_smoothing
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+        train = False
+    rng_init, rng_tf, rng_drop = jax.random.split(rng, 3)
+
+    h, c = init_lstm_state(params, annotations, cfg,
+                           rng_init if train and cfg.dropout > 0 else None)
+    att_enc = attention_precompute(params, annotations)
+    coins = jax.random.uniform(rng_tf, (num_steps,)) <= epsilon
+    drop_rngs = jax.random.split(rng_drop, num_steps)
+
+    def step_fn(carry, xs):
+        h, c, prev_pred = carry
+        t, coin, drop_rng = xs
+        use_gt = jnp.logical_or(t <= 2, coin)
+        gt_words = jax.lax.dynamic_index_in_dim(encoded_captions, t, axis=1,
+                                                keepdims=False)
+        prev_words = jnp.where(use_gt, gt_words, prev_pred)
+
+        prev_embed = embed_tokens(params, prev_words, cfg)
+        if train and cfg.embedding_dropout > 0:
+            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, drop_rng)
+        logits, h, c, _, alpha = decoder_step(
+            params, cfg, prev_embed, h, c, annotations, att_enc,
+            drop_rng if train and cfg.dropout > 0 else None)
+        logits = logits.astype(jnp.float32)
+
+        active = (lengths > t).astype(jnp.float32)                 # (N,)
+        tgt = jax.lax.dynamic_index_in_dim(targets, t, axis=1, keepdims=False)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logprobs, tgt[:, None], axis=1)[:, 0]
+        smooth = -jnp.mean(logprobs, axis=-1)
+        per_pos = confidence * nll + cfg.label_smoothing * smooth
+        pred = jnp.argmax(logits, axis=-1).astype(prev_words.dtype)
+
+        ce_sum = jnp.sum(per_pos * active)
+        correct = jnp.sum((pred == tgt).astype(jnp.float32) * active)
+        alpha_step = alpha.astype(jnp.float32) * active[:, None]
+        return (h, c, pred), (ce_sum, correct, jnp.sum(active), alpha_step)
+
+    ts = jnp.arange(num_steps)
+    step_fn = jax.checkpoint(step_fn)  # recompute in bwd: FLOPs < HBM here
+    init_pred = jnp.zeros((n,), encoded_captions.dtype)
+    (_, _, _), (ce_sums, corrects, actives, alpha_steps) = jax.lax.scan(
+        step_fn, (h, c, init_pred), (ts, coins, drop_rngs))
+
+    n_valid = jnp.maximum(actives.sum(), 1.0)
+    ce = ce_sums.sum() / n_valid
+    acc = corrects.sum() / n_valid
+    alpha_total = alpha_steps.sum(axis=0)                          # (N, L)
+    att = jnp.mean((1.0 - alpha_total) ** 2)
+    loss = ce + cfg.att_gamma * att
+    return {"loss": loss, "ce_loss": ce, "att_loss": att, "accuracy": acc}
+
+
 def sat_loss(cfg: SATConfig, logits: jax.Array, targets: jax.Array,
              lengths: jax.Array, alphas: jax.Array) -> Dict[str, jax.Array]:
     """Label-smoothed CE + doubly-stochastic attention loss + token accuracy

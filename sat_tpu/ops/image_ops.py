@@ -100,6 +100,33 @@ def grid_sample_bilinear(x: jax.Array, grid_y: jax.Array, grid_x: jax.Array,
     return top * (1 - wy) + bot * wy
 
 
+def separable_resample(x: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
+    """Axis-aligned bilinear resampling: sample rows at py (B, OH) then columns
+    at px (B, OW).  Equivalent to grid_sample with an axis-aligned grid but
+    uses contiguous take_along_axis row/column gathers instead of per-pixel
+    point gathers — orders of magnitude faster on TPU (the default
+    RandomResizedCrop+flip path has no rotation, so it is always separable).
+    Coordinates are clamped to the image (crops stay in-bounds)."""
+    b, h, w, c = x.shape
+    py = jnp.clip(py, 0.0, h - 1.0)
+    px = jnp.clip(px, 0.0, w - 1.0)
+    y0 = jnp.floor(py)
+    wy = (py - y0)[:, :, None, None]
+    y0i = y0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    rows0 = jnp.take_along_axis(x, y0i[:, :, None, None], axis=1)
+    rows1 = jnp.take_along_axis(x, y1i[:, :, None, None], axis=1)
+    rows = rows0 * (1 - wy) + rows1 * wy          # (B, OH, W, C)
+
+    x0 = jnp.floor(px)
+    wx = (px - x0)[:, None, :, None]
+    x0i = x0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    cols0 = jnp.take_along_axis(rows, x0i[:, None, :, None], axis=2)
+    cols1 = jnp.take_along_axis(rows, x1i[:, None, :, None], axis=2)
+    return cols0 * (1 - wx) + cols1 * wx          # (B, OH, OW, C)
+
+
 def affine_grid(theta: jax.Array, out_hw: Tuple[int, int],
                 in_hw: Tuple[int, int]) -> Tuple[jax.Array, jax.Array]:
     """Build per-sample sampling grids from 3x3 homographies.

@@ -30,7 +30,7 @@ from ..decode.beam import beam_search
 from ..evalx.metrics import score_captions
 from ..models.model import SATModel
 from ..models.sat import (flatten_caption_batch, repeat_annotations, sat_loss,
-                          train_forward)
+                          train_forward, train_forward_loss)
 from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
 from .checkpoints import (RestartCheckpointManager, TopKCheckpointManager,
                           save_checkpoint)
@@ -147,10 +147,10 @@ class Trainer:
             if not train_encoder:
                 annots = jax.lax.stop_gradient(annots)
             annots = repeat_annotations(annots, n_refs)
-            logits, targets, alphas = train_forward(
+            # inline-loss scan: never materializes (N, T, V) logits
+            metrics = train_forward_loss(
                 cparams["decoder"], self.cfg, annots, caps, lens, epsilon,
                 rng_tf, train=True)
-            metrics = sat_loss(self.cfg, logits, targets, lens, alphas)
             return metrics["loss"], (metrics, new_bs)
 
         grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
