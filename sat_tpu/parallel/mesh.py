@@ -16,6 +16,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host mesh over DCN: call once per process before creating the
+    mesh (SURVEY.md §2.6 — the reference has no distributed backend at all;
+    this is the jax.distributed replacement for what NCCL/DDP would be).
+
+    No-ops unless the standard coordinator env vars are present
+    (JAX_COORDINATOR_ADDRESS [+ JAX_NUM_PROCESSES/JAX_PROCESS_ID] or a TPU-pod
+    metadata environment). Returns True when distributed init ran."""
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def create_mesh(mesh_shape: Sequence[int] = (-1,),
                 axis_names: Sequence[str] = ("data",),
                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
