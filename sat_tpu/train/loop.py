@@ -179,6 +179,16 @@ class Trainer:
                 "step": self.global_step, "epoch": self.current_epoch}
         return jax.device_get(tree)
 
+    def _log_train_metrics(self, pending, epsilon, timer, epoch_metrics):
+        metrics, step, n_images = pending
+        host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        host["epsilon_tf"] = float(epsilon)
+        timer.tick(n_images)
+        if timer.images_per_sec:
+            host["images_per_sec"] = timer.images_per_sec
+        self.logger.train_step(host, step)
+        epoch_metrics.append(host)
+
     def train_epoch(self) -> Dict[str, float]:
         from ..utils.timing import StepTimer
         cfg = self.cfg
@@ -186,6 +196,7 @@ class Trainer:
         epsilon = teacher_forcing_epsilon(cfg, self.current_epoch)
         enc_on = (cfg.encoder_finetune_after > 0 and cfg.encoder_lr > 0)
         timer = StepTimer()
+        pending = None
         for batch in self.train_loader:
             lrs = self.scheduler.current_lrs(self.global_step)
             train_encoder = (enc_on
@@ -199,18 +210,20 @@ class Trainer:
                 {k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
                 jnp.asarray(epsilon, jnp.float32), step_rng,
                 train_encoder=train_encoder)
-            host_metrics = {k: float(v) for k, v in
-                            jax.device_get(metrics).items()}
-            host_metrics["epsilon_tf"] = float(epsilon)
-            timer.tick(batch["images"].shape[0])
-            if timer.images_per_sec:
-                host_metrics["images_per_sec"] = timer.images_per_sec
-            self.logger.train_step(host_metrics, self.global_step)
-            epoch_metrics.append(host_metrics)
+
+            # one-step-delayed metric fetch: this step's device metrics are
+            # logged at the NEXT iteration, so the host never blocks on the
+            # step it just dispatched (the reference's per-step TB logging
+            # forces a GPU sync every batch)
+            if pending is not None:
+                self._log_train_metrics(pending, epsilon, timer, epoch_metrics)
+            pending = (metrics, self.global_step, batch["images"].shape[0])
             self.scheduler.on_train_batch_end(self.global_step)
             self.restart_ckpt.on_train_batch_end(
                 cfg, self._checkpoint_tree, self.global_step, lrs["decoder"])
             self.global_step += 1
+        if pending is not None:  # flush the last step's metrics
+            self._log_train_metrics(pending, epsilon, timer, epoch_metrics)
         means = {k: float(np.mean([m[k] for m in epoch_metrics]))
                  for k in epoch_metrics[0]} if epoch_metrics else {}
         self.scheduler.on_train_epoch_end(self.current_epoch)
