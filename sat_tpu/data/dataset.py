@@ -154,11 +154,11 @@ class CaptionLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
-        n_batches = len(self)
+        n_full = len(order) // self.batch_size
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]
-                   for i in range(n_batches)]
+                   for i in range(n_full)]
         if not self.drop_last and len(order) % self.batch_size:
-            batches.append(order[n_batches * self.batch_size:])
+            batches.append(order[n_full * self.batch_size:])
         self._epoch += 1
         if self.workers == 0:
             for bidx in batches:

@@ -115,6 +115,8 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
         # ---- geometry ------------------------------------------------------
         use_optical = 0.0 < cfg.aug_optical_strength <= 1.0
         use_crop = cfg.aug_scale != 1.0
+        # strict upper bound is reference-faithful: train.py:221-222 only adds
+        # RandomHorizontalFlip when 0 < aug_hflip < 1.0 (p=1.0 -> no flip)
         use_flip = 0.0 < cfg.aug_hflip < 1.0
         if use_optical:
             # general warps: compose crop * flip * optical into one homography

@@ -115,6 +115,9 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
 
     noisy = decoder_noise is not None and decoder_noise != 0.0
     use_fused = fused and cfg.decoder_layers == 1 and not noisy
+    # per-beam annotation copies are loop-invariant: hoist them out of the scan
+    ann_flat = att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1)
+    annot_flat = annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d)
     if use_fused:
         # the fused kernel computes attention/beta/LSTM from ONE hidden state;
         # hidden noise splits them (noise applies only to the LSTM input
@@ -123,8 +126,6 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
                                             fused_output_logits,
                                             pack_fused_weights)
         fw = pack_fused_weights(params, cfg, dtype=annotations.dtype)
-        ann_flat = att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1)
-        annot_flat = annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d)
 
     def step_fn(carry, xs):
         tokens, scores, finished, flen, bar, h, c, alphas = carry
@@ -143,12 +144,7 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
             c_new = c1.reshape(c.shape)
         else:
             hidden = h[-1].reshape(b * k, -1)
-            # attention over shared annotations (broadcast, no per-beam copy)
-            zt, alpha = soft_attention(
-                params,
-                att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1),
-                annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d),
-                hidden)
+            zt, alpha = soft_attention(params, ann_flat, annot_flat, hidden)
             beta = beta_gate(params, hidden)
             x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
 

@@ -324,5 +324,6 @@ def import_pretrained(arch: str, path: str, variables: Dict[str, Any]
 
     out = jax.device_get(variables)
     merge(out["params"]["encoder"]["backbone"], params)
-    merge(out["state"]["batch_stats"]["encoder"]["backbone"], stats)
+    if stats:  # BatchNorm-free archs (squeezenet) have no batch_stats tree
+        merge(out["state"]["batch_stats"]["encoder"]["backbone"], stats)
     return out

@@ -85,19 +85,28 @@ class Trainer:
 
         self.global_step = 0
         self.current_epoch = 0
+        self.early_stop_count = 0
+        self.early_stop_best: Optional[float] = None
         if cfg.resume:
-            # self-contained resume: params + opt state + counters
-            # (reference: save_last=True resume-by-hand, train.py:187)
+            # self-contained resume: params + opt state + counters + LR
+            # schedule state (reference: save_last=True resume, train.py:187)
+            from flax import serialization
             from .checkpoints import load_checkpoint
-            target = {"params": jax.device_get(self.variables["params"]),
-                      "state": jax.device_get(self.variables["state"]),
-                      "opt_state": jax.device_get(self.opt_state),
-                      "step": 0, "epoch": 0}
-            _, tree = load_checkpoint(cfg.resume, target=target)
-            self.variables = {"params": tree["params"], "state": tree["state"]}
-            self.opt_state = tree["opt_state"]
-            self.global_step = int(tree["step"])
-            self.current_epoch = int(tree["epoch"]) + 1
+            _, raw = load_checkpoint(cfg.resume)
+            restore = lambda target, sd: serialization.from_state_dict(
+                jax.device_get(target), sd)
+            self.variables = {
+                "params": restore(self.variables["params"], raw["params"]),
+                "state": restore(self.variables["state"], raw["state"])}
+            self.opt_state = restore(self.opt_state, raw["opt_state"])
+            self.global_step = int(raw["step"])
+            self.current_epoch = int(raw["epoch"]) + 1
+            if "scheduler" in raw:
+                self.scheduler.load_state_dict(raw["scheduler"])
+            if "early_stop" in raw:
+                best = float(raw["early_stop"]["best"])
+                self.early_stop_best = None if best == float("-inf") else best
+                self.early_stop_count = int(raw["early_stop"]["count"])
 
         # -- mesh / sharding ----------------------------------------------
         self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
@@ -111,9 +120,7 @@ class Trainer:
                                           cfg.save_top_k)
         self.restart_ckpt = RestartCheckpointManager(self.logdir,
                                                      cfg.lr_warmup_steps)
-        self.early_stop_count = 0
-        self.early_stop_best: Optional[float] = None
-        self.should_stop = False
+        self.should_stop = False  # early-stop counters initialized pre-resume
 
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("train_encoder",),
@@ -176,7 +183,12 @@ class Trainer:
         tree = {"params": self.variables["params"],
                 "state": self.variables["state"],
                 "opt_state": self.opt_state,
-                "step": self.global_step, "epoch": self.current_epoch}
+                "step": self.global_step, "epoch": self.current_epoch,
+                "scheduler": dict(self.scheduler.state_dict()),
+                "early_stop": {"best": (self.early_stop_best
+                                        if self.early_stop_best is not None
+                                        else float("-inf")),
+                               "count": self.early_stop_count}}
         return jax.device_get(tree)
 
     def _log_train_metrics(self, pending, epsilon, timer, epoch_metrics):

@@ -74,6 +74,26 @@ class LRScheduler:
             self.pct_start = cfg.one_cycle_pct
 
     # ------------------------------------------------------------------
+    # checkpointable state (resume must not reset the LR trajectory)
+    # ------------------------------------------------------------------
+
+    _STATE_KEYS = ("factor", "plateau_best", "plateau_bad_epochs",
+                   "sched_step", "t_cur", "t_i")
+
+    def state_dict(self) -> Dict[str, float]:
+        return {k: getattr(self, k) for k in self._STATE_KEYS
+                if hasattr(self, k) and getattr(self, k) is not None}
+
+    def load_state_dict(self, state: Dict[str, float]) -> None:
+        for k in self._STATE_KEYS:
+            if k in state and state[k] is not None:
+                cur = getattr(self, k, None)
+                v = state[k]
+                if isinstance(cur, int):
+                    v = int(v)
+                setattr(self, k, v)
+
+    # ------------------------------------------------------------------
     # stepping hooks (mirror where Lightning/the reference step each kind)
     # ------------------------------------------------------------------
 

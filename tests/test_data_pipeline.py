@@ -46,6 +46,20 @@ def test_loader_shapes_and_determinism(ds):
     assert b["lengths"].shape == (8, 5)
 
 
+def test_loader_tail_batch_not_dropped(ds):
+    """drop_last=False yields exactly one partial tail batch (regression:
+    an empty extra batch used to crash np.stack and deadlock the prefetcher)."""
+    loader = CaptionLoader(ds, batch_size=7, input_size=32, shuffle=False,
+                           train=False, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == -(-len(ds) // 7) == len(loader)
+    assert batches[-1]["images"].shape[0] == len(ds) % 7
+    # threaded path too
+    batches_t = list(CaptionLoader(ds, 7, 32, shuffle=False, train=False,
+                                   drop_last=False, workers=2))
+    assert len(batches_t) == len(batches)
+
+
 def test_loader_bucket_mode(ds):
     loader = CaptionLoader(ds, batch_size=4, input_size=32, bucket=True,
                            shuffle=False, train=False)

@@ -31,3 +31,31 @@ def test_resume_continues_from_checkpoint(tmp_path):
     assert t2.current_epoch == 2
     t2.fit()
     assert t2.global_step == steps_done + len(t2.train_loader)  # one more epoch
+
+
+def test_resume_restores_scheduler_state(tmp_path):
+    """The LR trajectory must continue, not reset (regression: a resumed
+    MultiStepLR jumped back to the base LR past its milestones)."""
+    json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=8, n_val=8,
+                                       image_size=32, max_cap_length=6)
+    cfg = SATConfig(json=json_path, batch=8, epochs=4, input_size=32,
+                    encoder_arch="shufflenet_v2_x0_5", encoder_dim=16,
+                    embed_dim=8, attention_dim=8, decoder_dim=16,
+                    scheduler="step", milestones=(1, 2), lr_gamma=0.1,
+                    decoder_tf="always", val_interval=100, seed=0,
+                    aug_scale=1.0, aug_hflip=0.0, aug_noise_std=0.0)
+    t1 = Trainer(cfg, log_root=str(tmp_path / "l1"))
+    for e in range(3):
+        t1.current_epoch = e
+        t1.train_epoch()
+    # after epochs 1 and 2 milestones: factor = 0.01
+    lr_before = t1.scheduler.current_lrs(t1.global_step)["decoder"]
+    assert abs(lr_before - 1e-3 * 0.01) < 1e-12
+    from sat_tpu.train.checkpoints import save_checkpoint
+    import os
+    ckpt = os.path.join(str(tmp_path), "mid.ckpt")
+    save_checkpoint(ckpt, t1.cfg, t1._checkpoint_tree())
+
+    t2 = Trainer(cfg.replace(resume=ckpt), log_root=str(tmp_path / "l2"))
+    lr_resumed = t2.scheduler.current_lrs(t2.global_step)["decoder"]
+    assert abs(lr_resumed - lr_before) < 1e-12

@@ -149,6 +149,43 @@ def test_import_fills_every_backbone_leaf(arch):
     assert y.ndim == 3
 
 
+def test_squeezenet_import_without_batchnorm():
+    """squeezenet has no BN -> empty batch_stats tree must not crash import
+    (regression: KeyError 'encoder' on the stats merge)."""
+    arch = "squeezenet1_1"
+    cfg = SATConfig(encoder_arch=arch, input_size=64)
+    module, variables, cfg, grid = build_encoder(cfg, jax.random.PRNGKey(0))
+    host_vars = jax.device_get(variables)
+    flax_params = host_vars["params"]["backbone"]
+
+    # torchvision squeezenet1_1 feature indices with fire modules
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def conv_keys(tk, fp):
+        fshape = flax_params
+        for p in fp.split("/"):
+            fshape = fshape[p]
+        k = fshape["kernel"].shape
+        sd[f"{tk}.weight"] = rng.normal(size=(k[3], k[2], k[0], k[1])).astype(np.float32)
+        sd[f"{tk}.bias"] = rng.normal(size=fshape["bias"].shape).astype(np.float32)
+
+    conv_keys("features.0", "conv1")
+    for n, feat in zip(range(2, 10), (3, 4, 6, 7, 9, 10, 11, 12)):
+        for part in ("squeeze", "expand1x1", "expand3x3"):
+            conv_keys(f"features.{feat}.{part}", f"fire{n}/{part}")
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+        np.savez(f.name, **sd)
+        full_vars = {"params": {"encoder": host_vars["params"]},
+                     "state": {"batch_stats": {}}}  # no BN stats at all
+        out = TI.import_pretrained(arch, f.name, full_vars)
+    before = dict(flax_leaves(flax_params))
+    after = dict(flax_leaves(out["params"]["encoder"]["backbone"]))
+    assert all(not np.allclose(before[k], after[k]) for k in before)
+
+
 def test_conv_transpose_orientation():
     """A 1x1 conv with a known torch weight must act as the same linear map
     after conversion (catches transposition mistakes)."""
