@@ -325,5 +325,6 @@ def import_pretrained(arch: str, path: str, variables: Dict[str, Any]
     out = jax.device_get(variables)
     merge(out["params"]["encoder"]["backbone"], params)
     if stats:  # BatchNorm-free archs (squeezenet) have no batch_stats tree
-        merge(out["state"]["batch_stats"]["encoder"]["backbone"], stats)
+        # layout matches SATModel.create: state.batch_stats.backbone.*
+        merge(out["state"]["batch_stats"]["backbone"], stats)
     return out

@@ -128,7 +128,7 @@ def test_import_fills_every_backbone_leaf(arch):
     with tempfile.NamedTemporaryFile(suffix=".npz") as f:
         np.savez(f.name, **sd)
         full_vars = {"params": {"encoder": host_vars["params"]},
-                     "state": {"batch_stats": {"encoder": host_vars["batch_stats"]}}}
+                     "state": {"batch_stats": host_vars["batch_stats"]}}
         out = TI.import_pretrained(arch, f.name, full_vars)
 
     before = dict(flax_leaves(flax_params))
@@ -137,14 +137,14 @@ def test_import_fills_every_backbone_leaf(arch):
     assert len(changed) == len(before), \
         f"{arch}: only {len(changed)}/{len(before)} param leaves imported"
     sbefore = dict(flax_leaves(flax_stats))
-    safter = dict(flax_leaves(out["state"]["batch_stats"]["encoder"]["backbone"]))
+    safter = dict(flax_leaves(out["state"]["batch_stats"]["backbone"]))
     schanged = [k for k in sbefore if not np.allclose(sbefore[k], safter[k])]
     assert len(schanged) == len(sbefore)
 
     # the imported encoder still runs with consistent shapes
     new_vars = jax.tree_util.tree_map(jnp.asarray, {
         "params": out["params"]["encoder"],
-        "batch_stats": out["state"]["batch_stats"]["encoder"]})
+        "batch_stats": out["state"]["batch_stats"]})
     y = module.apply(new_vars, jnp.ones((1, 64, 64, 3)) * 0.5)
     assert y.ndim == 3
 
@@ -184,6 +184,48 @@ def test_squeezenet_import_without_batchnorm():
     before = dict(flax_leaves(flax_params))
     after = dict(flax_leaves(out["params"]["encoder"]["backbone"]))
     assert all(not np.allclose(before[k], after[k]) for k in before)
+
+
+def test_pretrained_weights_through_model_create(tmp_path):
+    """The --pretrained_weights path through SATModel.create (regression: the
+    stats merge expected a layout SATModel.create never produces)."""
+    from sat_tpu.models.model import SATModel
+    arch = "shufflenet_v2_x0_5"
+    cfg = SATConfig(encoder_arch=arch, input_size=64)
+    module, variables, cfg, grid = build_encoder(cfg, jax.random.PRNGKey(0))
+    host_vars = jax.device_get(variables)
+
+    def find(tree, name):
+        for p in name.split("/"):
+            tree = tree[p]
+        return tree
+
+    rng = np.random.default_rng(3)
+    sd = {}
+    for tkey, fname in torchvision_keys(arch):
+        if fname.startswith("stats:"):
+            shape = find(host_vars["batch_stats"]["backbone"], fname[6:]).shape
+            sd[tkey] = rng.normal(size=shape).astype(np.float32)
+        else:
+            k = find(host_vars["params"]["backbone"], fname).shape
+            if fname.endswith("kernel"):
+                sd[tkey] = rng.normal(size=(k[3], k[2], k[0], k[1])).astype(np.float32)
+            else:
+                sd[tkey] = rng.normal(size=k).astype(np.float32)
+    wpath = str(tmp_path / "w.npz")
+    np.savez(wpath, **sd)
+
+    v = 20
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    mcfg = SATConfig(encoder_arch=arch, input_size=64, vocab_size=v,
+                     vocab_stoi=stoi, embed_dim=8, attention_dim=8,
+                     decoder_dim=16, pretrained=True, pretrained_weights=wpath)
+    model, mvars = SATModel.create(mcfg, jax.random.PRNGKey(1))
+    got = np.asarray(jax.device_get(
+        mvars["params"]["encoder"]["backbone"]["conv1"]["kernel"]))
+    want = sd["conv1.0.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_conv_transpose_orientation():
