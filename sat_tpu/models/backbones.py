@@ -336,6 +336,20 @@ class MobileNetV3(nn.Module):
 # =========================================================================
 
 
+def _max_pool_ceil(x, window=3, stride=2):
+    """torch MaxPool2d(ceil_mode=True): pad right/bottom so the last partial
+    window is kept (squeezenet uses this; floor-mode loses a row at 1_0)."""
+    out = lambda n: -(-(n - window) // stride) + 1
+    pads = []
+    for dim in (1, 2):
+        n = x.shape[dim]
+        pads.append((out(n) - 1) * stride + window - n)
+    if any(pads):
+        x = jnp.pad(x, ((0, 0), (0, pads[0]), (0, pads[1]), (0, 0)),
+                    constant_values=-jnp.inf)
+    return nn.max_pool(x, (window, window), (stride, stride))
+
+
 class Fire(nn.Module):
     squeeze: int
     expand1: int
@@ -355,7 +369,7 @@ class SqueezeNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mp = partial(nn.max_pool, window_shape=(3, 3), strides=(2, 2))
+        mp = _max_pool_ceil
         if self.version == "1_0":
             x = nn.relu(nn.Conv(96, (7, 7), (2, 2), padding=0, name="conv1")(x))
             x = mp(x)

@@ -10,14 +10,22 @@ from sat_tpu.config import SATConfig
 from sat_tpu.models.encoder import SATEncoder, build_encoder, probe_encoder
 from sat_tpu.models.backbones import BACKBONES, channel_shuffle
 
-# arch -> (final_dim, grid at 224) from the torchvision reference encoders
+# arch -> (final_dim, grid at 224) from the torchvision reference encoders —
+# all 24 supported names (readme.md:99-105)
 EXPECTED = {
-    "resnet18": (512, 7), "resnet50": (2048, 7),
-    "resnext50_32x4d": (2048, 7), "wide_resnet50_2": (2048, 7),
-    "shufflenet_v2_x0_5": (1024, 7), "shufflenet_v2_x2_0": (2048, 7),
-    "mobilenet_v2": (1280, 7), "mobilenet_v3_small": (576, 7),
-    "mobilenet_v3_large": (960, 7), "squeezenet1_1": (512, 13),
-    "densenet121": (1024, 7), "mnasnet0_5": (1280, 7),
+    "resnet18": (512, 7), "resnet34": (512, 7), "resnet50": (2048, 7),
+    "resnet101": (2048, 7), "resnet152": (2048, 7),
+    "resnext50_32x4d": (2048, 7), "resnext101_32x8d": (2048, 7),
+    "wide_resnet50_2": (2048, 7), "wide_resnet101_2": (2048, 7),
+    "squeezenet1_0": (512, 13), "squeezenet1_1": (512, 13),
+    "densenet121": (1024, 7), "densenet169": (1664, 7),
+    "densenet201": (1920, 7), "densenet161": (2208, 7),
+    "shufflenet_v2_x0_5": (1024, 7), "shufflenet_v2_x1_0": (1024, 7),
+    "shufflenet_v2_x1_5": (1024, 7), "shufflenet_v2_x2_0": (2048, 7),
+    "mobilenet_v2": (1280, 7), "mobilenet_v3_large": (960, 7),
+    "mobilenet_v3_small": (576, 7),
+    "mnasnet0_5": (1280, 7), "mnasnet0_75": (1280, 7),
+    "mnasnet1_0": (1280, 7), "mnasnet1_3": (1280, 7),
 }
 
 
