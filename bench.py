@@ -21,7 +21,8 @@ import time
 import numpy as np
 
 
-def build_model(arch: str, input_size: int, vocab_size: int, precision: int):
+def build_model(arch: str, input_size: int, vocab_size: int, precision: int,
+                encoder_dim=None):
     import jax
     import jax.numpy as jnp
     from sat_tpu.config import SATConfig
@@ -33,7 +34,7 @@ def build_model(arch: str, input_size: int, vocab_size: int, precision: int):
     cfg = SATConfig(encoder_arch=arch, input_size=input_size,
                     vocab_size=vocab_size, vocab_stoi=stoi, embed_dim=256,
                     attention_dim=128, decoder_dim=512, deep_output=True,
-                    precision=precision)
+                    precision=precision, encoder_dim=encoder_dim)
     model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
     if precision == 16:
         # bf16 inference: params + activations (no loss scaling needed on TPU)
@@ -105,6 +106,9 @@ def main(argv=None):
     # flagship: BASELINE.json config 1's encoder; also the fastest measured
     # (94k imgs/s vs shufflenet_v2_x0_5's 70k on v5e)
     p.add_argument("--arch", default="mobilenet_v3_small")
+    p.add_argument("--encoder_dim", default=None, type=int,
+                   help="1x1 projection dim (the reference's -14%% step-time "
+                        "trick, readme.md:197)")
     p.add_argument("--input_size", default=224, type=int)
     p.add_argument("--vocab_size", default=4096, type=int)
     p.add_argument("--max_gen_length", default=16, type=int)
@@ -125,7 +129,8 @@ def main(argv=None):
     k_large = 12 if args.quick else 10
 
     model, variables = build_model(args.arch, args.input_size,
-                                   args.vocab_size, args.precision)
+                                   args.vocab_size, args.precision,
+                                   args.encoder_dim)
 
     # secondary metric: p50 single-image caption latency (the reference's
     # serial per-image loop prints "Inference in ... ms" — visualize.ipynb)

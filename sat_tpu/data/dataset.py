@@ -114,7 +114,8 @@ class CaptionLoader:
 
     def __init__(self, ds: CaptionDataset, batch_size: int, input_size: int,
                  shuffle: bool = True, bucket: bool = False, seed: int = 0,
-                 workers: int = 0, train: bool = True, drop_last: bool = True):
+                 workers: int = 0, train: bool = True, drop_last: bool = True,
+                 trim_captions: Optional[bool] = None):
         self.ds = ds
         self.batch_size = batch_size
         self.input_size = input_size
@@ -123,6 +124,11 @@ class CaptionLoader:
         self.workers = max(0, workers)
         self.train = train
         self.drop_last = drop_last
+        # The TPU-native payoff of bucketing: same-length batches let the
+        # caption tensor trim to the batch max (fewer scan steps), with the
+        # trimmed length rounded up to a multiple of 4 so XLA compiles at
+        # most ceil(T/4) shapes (SURVEY.md §5 recompilation control).
+        self.trim_captions = bucket if trim_captions is None else trim_captions
         self._rng = np.random.default_rng(seed)
         self._sampler = (BucketSampler(ds.lengths, batch_size, seed=seed)
                          if bucket else None)
@@ -146,11 +152,14 @@ class CaptionLoader:
 
     def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
         imgs = np.stack([self._load_one(i) for i in idxs])
-        return {
-            "images": imgs,
-            "captions": self.ds.encoded_captions[list(idxs)],
-            "lengths": self.ds.lengths[list(idxs)],
-        }
+        captions = self.ds.encoded_captions[list(idxs)]
+        lengths = self.ds.lengths[list(idxs)]
+        if self.trim_captions:
+            # keep <START> + longest target run, rounded up to a 4-bucket
+            t_needed = int(lengths.max()) + 1
+            t_bucket = min(-(-t_needed // 4) * 4 + 1, captions.shape[2])
+            captions = captions[:, :, :t_bucket]
+        return {"images": imgs, "captions": captions, "lengths": lengths}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()

@@ -63,8 +63,19 @@ def test_loader_tail_batch_not_dropped(ds):
 def test_loader_bucket_mode(ds):
     loader = CaptionLoader(ds, batch_size=4, input_size=32, bucket=True,
                            shuffle=False, train=False)
-    seen = sum(1 for _ in loader)
-    assert seen == len(ds) // 4
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    full_t = ds.encoded_captions.shape[2]
+    for b in batches:
+        t = b["captions"].shape[2]
+        # trimmed to the batch's needed length, 4-bucketed, never larger
+        assert t <= full_t and (t == full_t or t % 4 == 1)
+        assert t >= int(b["lengths"].max()) + 1
+        # END token still present at position `length` for every caption
+        lens = b["lengths"]
+        for i in range(lens.shape[0]):
+            for j in range(lens.shape[1]):
+                assert b["captions"][i, j, lens[i, j]] == ds.vocab.end_idx
 
 
 def test_loader_threaded_prefetch_equivalence(ds):
