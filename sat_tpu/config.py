@@ -42,6 +42,7 @@ class SATConfig:
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     bucket_sampler: bool = False
+    cache_images: bool = False   # RAM-cache decoded images (subset-scale data)
 
     # -- Vision encoder (reference: train.py:43-51; readme.md:110-125 encoder_size variant)
     encoder_arch: str = "shufflenet_v2_x0_5"
@@ -202,6 +203,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--mean", nargs=3, default=list(d.mean), type=float)
     p.add_argument("--std", nargs=3, default=list(d.std), type=float)
     _add_bool_flag(p, "bucket_sampler")
+    _add_bool_flag(p, "cache_images")
     p.add_argument("--encoder_arch", default=d.encoder_arch, type=str)
     p.add_argument("--input_size", default=d.input_size, type=int)
     _add_bool_flag(p, "pretrained")

@@ -29,26 +29,35 @@ def pil_loader(path: str) -> Image.Image:
     return Image.open(open(path, "rb")).convert("RGB")
 
 
-def load_resized_square(path: str, size: int, random_offset: bool = False,
-                        rng: Optional[np.random.Generator] = None) -> np.ndarray:
-    """Decode -> resize shorter side to `size` -> square crop -> uint8 HWC.
+def decode_resized(path: str, size: int) -> np.ndarray:
+    """Decode -> resize shorter side to `size` -> uint8 HWC (full aspect)."""
+    img = pil_loader(path)
+    w, h = img.size
+    scale = size / min(w, h)
+    nw, nh = max(size, round(w * scale)), max(size, round(h * scale))
+    return np.asarray(img.resize((nw, nh), Image.BILINEAR), np.uint8)
+
+
+def square_crop(arr: np.ndarray, size: int, random_offset: bool = False,
+                rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """Square crop of a shorter-side=size array.
 
     Val: center crop (reference: train.py:208-212 Resize+CenterCrop).
     Train: a random square position along the longer side, preserving the
     translation diversity of torchvision's full-image RandomResizedCrop; the
     scale/aspect jitter then happens on-device."""
-    img = pil_loader(path)
-    w, h = img.size
-    scale = size / min(w, h)
-    nw, nh = max(size, round(w * scale)), max(size, round(h * scale))
-    img = img.resize((nw, nh), Image.BILINEAR)
+    nh, nw = arr.shape[:2]
     if random_offset and rng is not None:
         left = int(rng.integers(0, nw - size + 1))
         top = int(rng.integers(0, nh - size + 1))
     else:
         left, top = (nw - size) // 2, (nh - size) // 2
-    img = img.crop((left, top, left + size, top + size))
-    return np.asarray(img, np.uint8)
+    return arr[top:top + size, left:left + size]
+
+
+def load_resized_square(path: str, size: int, random_offset: bool = False,
+                        rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    return square_crop(decode_resized(path, size), size, random_offset, rng)
 
 
 class CaptionDataset:
@@ -115,7 +124,8 @@ class CaptionLoader:
     def __init__(self, ds: CaptionDataset, batch_size: int, input_size: int,
                  shuffle: bool = True, bucket: bool = False, seed: int = 0,
                  workers: int = 0, train: bool = True, drop_last: bool = True,
-                 trim_captions: Optional[bool] = None):
+                 trim_captions: Optional[bool] = None,
+                 cache_images: bool = False):
         self.ds = ds
         self.batch_size = batch_size
         self.input_size = input_size
@@ -129,6 +139,11 @@ class CaptionLoader:
         # trimmed length rounded up to a multiple of 4 so XLA compiles at
         # most ceil(T/4) shapes (SURVEY.md §5 recompilation control).
         self.trim_captions = bucket if trim_captions is None else trim_captions
+        # Optional decoded-image RAM cache (pre-crop, so the per-epoch random
+        # offsets stay live). For subset-scale datasets this removes the
+        # 1-core JPEG decode bottleneck after the first epoch.
+        self._img_cache: Optional[Dict[int, np.ndarray]] = (
+            {} if cache_images else None)
         self._rng = np.random.default_rng(seed)
         self._sampler = (BucketSampler(ds.lengths, batch_size, seed=seed)
                          if bucket else None)
@@ -147,6 +162,13 @@ class CaptionLoader:
         return order
 
     def _load_one(self, idx: int) -> np.ndarray:
+        if self._img_cache is not None:
+            arr = self._img_cache.get(idx)
+            if arr is None:
+                arr = decode_resized(self.ds.img_paths[idx], self.input_size)
+                self._img_cache[idx] = arr
+            return square_crop(arr, self.input_size,
+                               random_offset=self.train, rng=self._rng)
         return load_resized_square(self.ds.img_paths[idx], self.input_size,
                                    random_offset=self.train, rng=self._rng)
 

@@ -63,7 +63,8 @@ class Trainer:
         self.train_loader = CaptionLoader(
             self.train_ds, cfg.batch, cfg.input_size,
             shuffle=not cfg.bucket_sampler, bucket=cfg.bucket_sampler,
-            seed=cfg.seed, workers=cfg.workers, train=True)
+            seed=cfg.seed, workers=cfg.workers, train=True,
+            cache_images=cfg.cache_images)
         # keep the tail batch at val (each tail shape costs one extra compile)
         self.val_loader = CaptionLoader(
             self.val_ds, min(cfg.batch, len(self.val_ds)), cfg.input_size,
