@@ -43,6 +43,7 @@ class SATConfig:
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     bucket_sampler: bool = False
     cache_images: bool = False   # RAM-cache decoded images (subset-scale data)
+    native_decode: Optional[bool] = None  # C++ jpeg pipeline (None = auto-detect)
 
     # -- Vision encoder (reference: train.py:43-51; readme.md:110-125 encoder_size variant)
     encoder_arch: str = "shufflenet_v2_x0_5"
@@ -204,6 +205,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--std", nargs=3, default=list(d.std), type=float)
     _add_bool_flag(p, "bucket_sampler")
     _add_bool_flag(p, "cache_images")
+    p.add_argument("--native_decode", default=None, action="store_true",
+                   help="force the C++ jpeg pipeline (default: auto-detect)")
+    p.add_argument("--no_native_decode", dest="native_decode",
+                   action="store_false")
     p.add_argument("--encoder_arch", default=d.encoder_arch, type=str)
     p.add_argument("--input_size", default=d.input_size, type=int)
     _add_bool_flag(p, "pretrained")

@@ -9,6 +9,11 @@ BucketSampler; train.py:244-259 DataLoader wiring) redesigned for TPU feeding:
   star's host/device split.
 * Batches are fixed-shape; a thread-pool prefetcher overlaps decode with
   device compute (replacing torch DataLoader workers, train.py:244-249).
+* JPEG decode defaults to the native C++ pipeline (sat_tpu/native): an
+  in-process thread pool doing libjpeg IDCT-scaled decode + PIL-matching
+  resample + crop straight into the batch buffer — the TPU-native stand-in
+  for the reference's forked PIL DataLoader workers. PIL is the per-image
+  fallback (non-JPEG files, corrupt images, missing toolchain).
 """
 
 from __future__ import annotations
@@ -125,7 +130,8 @@ class CaptionLoader:
                  shuffle: bool = True, bucket: bool = False, seed: int = 0,
                  workers: int = 0, train: bool = True, drop_last: bool = True,
                  trim_captions: Optional[bool] = None,
-                 cache_images: bool = False):
+                 cache_images: bool = False,
+                 native_decode: Optional[bool] = None):
         self.ds = ds
         self.batch_size = batch_size
         self.input_size = input_size
@@ -144,6 +150,14 @@ class CaptionLoader:
         # 1-core JPEG decode bottleneck after the first epoch.
         self._img_cache: Optional[Dict[int, np.ndarray]] = (
             {} if cache_images else None)
+        # Native C++ decode pool (None -> auto-detect; see module docstring).
+        self._native = None
+        if native_decode is not False:
+            from .. import native as _native_mod
+            self._native = _native_mod.shared_pool()
+            if self._native is None and native_decode is True:
+                raise RuntimeError("native_decode=True but the C++ jpeg "
+                                   "pipeline failed to build/load")
         self._rng = np.random.default_rng(seed)
         self._sampler = (BucketSampler(ds.lengths, batch_size, seed=seed)
                          if bucket else None)
@@ -161,19 +175,44 @@ class CaptionLoader:
             self._rng.shuffle(order)
         return order
 
+    def _decode_full(self, path: str) -> np.ndarray:
+        """Aspect-kept shorter-side resize (native fast path, PIL fallback)."""
+        if self._native is not None:
+            arr = self._native.decode_resized(path, self.input_size)
+            if arr is not None:
+                return arr
+        return decode_resized(path, self.input_size)
+
     def _load_one(self, idx: int) -> np.ndarray:
         if self._img_cache is not None:
             arr = self._img_cache.get(idx)
             if arr is None:
-                arr = decode_resized(self.ds.img_paths[idx], self.input_size)
+                arr = self._decode_full(self.ds.img_paths[idx])
                 self._img_cache[idx] = arr
             return square_crop(arr, self.input_size,
                                random_offset=self.train, rng=self._rng)
-        return load_resized_square(self.ds.img_paths[idx], self.input_size,
-                                   random_offset=self.train, rng=self._rng)
+        return square_crop(self._decode_full(self.ds.img_paths[idx]),
+                           self.input_size, random_offset=self.train,
+                           rng=self._rng)
+
+    def _load_images(self, idxs: Sequence[int]) -> np.ndarray:
+        """Decode a whole batch: one native thread-pool call (GIL released),
+        PIL per-image fallback for anything the native path rejects."""
+        if self._native is None or self._img_cache is not None:
+            return np.stack([self._load_one(i) for i in idxs])
+        paths = [self.ds.img_paths[i] for i in idxs]
+        offs = (self._rng.random((len(idxs), 2)).astype(np.float32)
+                if self.train
+                else np.full((len(idxs), 2), 0.5, np.float32))
+        imgs, ok = self._native.decode_batch(paths, self.input_size, offs)
+        for j in np.flatnonzero(~ok):
+            imgs[j] = square_crop(
+                decode_resized(paths[j], self.input_size), self.input_size,
+                random_offset=self.train, rng=self._rng)
+        return imgs
 
     def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
-        imgs = np.stack([self._load_one(i) for i in idxs])
+        imgs = self._load_images(idxs)
         captions = self.ds.encoded_captions[list(idxs)]
         lengths = self.ds.lengths[list(idxs)]
         if self.trim_captions:

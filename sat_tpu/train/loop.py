@@ -64,12 +64,13 @@ class Trainer:
             self.train_ds, cfg.batch, cfg.input_size,
             shuffle=not cfg.bucket_sampler, bucket=cfg.bucket_sampler,
             seed=cfg.seed, workers=cfg.workers, train=True,
-            cache_images=cfg.cache_images)
+            cache_images=cfg.cache_images, native_decode=cfg.native_decode)
         # keep the tail batch at val (each tail shape costs one extra compile)
         self.val_loader = CaptionLoader(
             self.val_ds, min(cfg.batch, len(self.val_ds)), cfg.input_size,
             shuffle=False, bucket=cfg.bucket_sampler, seed=cfg.seed,
-            workers=cfg.workers, train=False, drop_last=False)
+            workers=cfg.workers, train=False, drop_last=False,
+            native_decode=cfg.native_decode)
         cfg = cfg.replace(train_loader_len=len(self.train_loader)).validate()
 
         # -- model + optimizer -------------------------------------------
