@@ -101,6 +101,88 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
     return batch / per_batch
 
 
+def bench_train_step(arch: str, input_size: int, vocab_size: int,
+                     precision: int, batch: int, train_encoder: bool = True,
+                     k_small: int = 2, k_large: int = 8, reps: int = 3,
+                     encoder_dim=None, max_cap_length: int = 20):
+    """Training-step throughput (imgs/s/chip): augmentation -> encoder ->
+    teacher-forced decoder scan -> loss -> grads -> optax update, all in one
+    jitted program, K steps data-chained through the evolving params (each
+    step's params feed the next, so the chain cannot parallelize). Same
+    marginal-time method as bench_batch (the axon relay lies otherwise)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from sat_tpu.config import SATConfig
+    from sat_tpu.train.loop import Trainer
+
+    rng = np.random.default_rng(0)
+    n_refs, T = 5, max_cap_length + 2
+    stoi = {f"w{i}": i for i in range(1, vocab_size - 3)}
+    stoi.update({"<UNK>": vocab_size - 3, "<START>": vocab_size - 2,
+                 "<END>": vocab_size - 1, "<PAD>": 0})
+
+    def split(n):
+        lens = rng.integers(6, max_cap_length, (n, n_refs)).astype(int)
+        caps = np.zeros((n, n_refs, T), np.int32)
+        caps[..., 0] = vocab_size - 2
+        for i in range(n):
+            for r in range(n_refs):
+                L = int(lens[i, r])
+                caps[i, r, 1:L] = rng.integers(1, vocab_size - 3, L - 1)
+                caps[i, r, L] = vocab_size - 1
+        return {"samples": n, "img_paths": [f"mem://{i}" for i in range(n)],
+                "encoded_captions": caps.tolist(), "lengths": lens.tolist()}
+
+    ds = {"vocab_stoi": stoi, "vocab_size": vocab_size, "embed_dim": None,
+          "pretrained_embedding": None, "min_count": 1,
+          "max_cap_length": max_cap_length,
+          "train": split(max(batch, 8)), "val": split(8), "test": split(8)}
+    cfg = SATConfig(encoder_arch=arch, input_size=input_size, batch=batch,
+                    embed_dim=256, attention_dim=128, decoder_dim=512,
+                    deep_output=True, precision=precision,
+                    encoder_dim=encoder_dim, encoder_finetune_after=0,
+                    encoder_lr=1e-4, epochs=1)
+    trainer = Trainer(cfg, dataset=ds, log_root="/tmp/bench_logs")
+
+    images = jnp.asarray(rng.integers(0, 256, (batch, input_size, input_size, 3),
+                                      np.int64), jnp.uint8)
+    caps = jnp.asarray(np.resize(np.asarray(ds["train"]["encoded_captions"],
+                                            np.int32), (batch, n_refs, T)))
+    lens = jnp.asarray(np.resize(np.asarray(ds["train"]["lengths"], np.int32),
+                                 (batch, n_refs)))
+    dbatch = {"images": images, "captions": caps, "lengths": lens}
+    lrs = {k: jnp.asarray(1e-4, jnp.float32)
+           for k in ("decoder", "embedding", "encoder")}
+    eps = jnp.asarray(1.0, jnp.float32)
+    rng0 = jax.random.PRNGKey(0)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def loop(variables, opt_state, batch, k):
+        def body(i, carry):
+            variables, opt_state = carry
+            variables, opt_state, _ = trainer._train_step(
+                variables, opt_state, batch, lrs, eps,
+                jax.random.fold_in(rng0, i), train_encoder=train_encoder)
+            return (variables, opt_state)
+        variables, _ = jax.lax.fori_loop(0, k, body, (variables, opt_state))
+        return variables["params"]["decoder"]["embedding"].sum()
+
+    times = {}
+    for k in (k_small, k_large):
+        np.array(loop(trainer.variables, trainer.opt_state, dbatch, k))
+        rs = []
+        for _ in range(reps):
+            t0 = time.time()
+            np.array(loop(trainer.variables, trainer.opt_state, dbatch, k))
+            rs.append(time.time() - t0)
+        times[k] = float(np.median(rs))
+    per_step = (times[k_large] - times[k_small]) / (k_large - k_small)
+    if per_step <= 0:
+        per_step = times[k_large] / k_large
+    return batch / per_step
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     # flagship: BASELINE.json config 1's encoder; also the fastest measured
@@ -122,7 +204,41 @@ def main(argv=None):
                         "they tie (step) or trail (loop) the XLA scan path, "
                         "which fuses this workload extremely well — default "
                         "off (also avoids ~2min of Mosaic compiles)")
+    p.add_argument("--train", action="store_true",
+                   help="measure the training step (aug+encoder+TF-scan+grads"
+                        "+update) instead of greedy captioning")
+    p.add_argument("--frozen_encoder", action="store_true",
+                   help="with --train: freeze the encoder (no encoder bwd)")
     args = p.parse_args(argv)
+
+    if args.train:
+        batches = args.batches or ([32] if args.quick else [64, 128, 256])
+        best, best_b = 0.0, 0
+        for b in batches:
+            try:
+                v = bench_train_step(args.arch, args.input_size,
+                                     args.vocab_size, args.precision, b,
+                                     train_encoder=not args.frozen_encoder,
+                                     reps=1 if args.quick else 3,
+                                     encoder_dim=args.encoder_dim)
+            except Exception as e:
+                print(f"# train batch {b} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                continue
+            print(f"# train {args.arch} b={b}: {v:.0f} imgs/s", file=sys.stderr)
+            if v > best:
+                best, best_b = v, b
+        # vs_baseline: the reference's implied end-to-end training rate
+        # (~80 imgs/s: 32k imgs x 90 epochs ~ 2h, dev/presentation.txt:122-128)
+        print(json.dumps({
+            "metric": "train_step_images_per_sec_per_chip",
+            "value": round(best, 1), "unit": "imgs/s",
+            "vs_baseline": round(best / 80.0, 3),
+            "config": {"arch": args.arch, "batch": best_b,
+                       "input_size": args.input_size,
+                       "precision": args.precision, "vocab": args.vocab_size,
+                       "encoder_finetune": not args.frozen_encoder}}))
+        return
 
     # two sizes by default: each (batch, k) shape pays a pallas compile
     batches = args.batches or ([64] if args.quick else [256, 512])

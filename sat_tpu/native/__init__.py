@@ -3,10 +3,11 @@
 The reference's data layer leans on native code implicitly -- PIL(-SIMD) JPEG
 decode inside forked DataLoader worker processes (reference: util.py:41,
 train.py:244-249).  SAT-TPU's equivalent is an in-process C++ thread pool
-(jpeg_pipeline.cpp): libjpeg decode with IDCT scaling, PIL-matching bilinear
-resample, and square crop, fused per image, writing straight into one
-contiguous batch buffer.  The ctypes call releases the GIL, so Python-thread
-prefetch (dataset.CaptionLoader workers) overlaps with device compute.
+(jpeg_pipeline.cpp): libjpeg decode with IDCT scaling (PNG via libpng,
+sniffed from magic bytes), PIL-matching bilinear resample, and square crop,
+fused per image, writing straight into one contiguous batch buffer.  The
+ctypes call releases the GIL, so Python-thread prefetch
+(dataset.CaptionLoader workers) overlaps with device compute.
 
 Builds lazily with g++ on first use; everything degrades gracefully to the
 PIL path if the toolchain or libjpeg is missing (`available()` -> False).
@@ -33,7 +34,7 @@ _build_failed = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB, _SRC, "-ljpeg", "-lpthread"]
+           "-o", _LIB, _SRC, "-ljpeg", "-lpng", "-lpthread"]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
     except (OSError, subprocess.TimeoutExpired):

@@ -35,6 +35,7 @@
 #include <vector>
 
 #include <jpeglib.h>
+#include <png.h>
 
 namespace {
 
@@ -196,6 +197,40 @@ bool decode_jpeg(const char* path, int min_side, bool fast_dct,
   return true;
 }
 
+// Decode one PNG to uint8 RGB via the libpng 1.6 simplified API (alpha is
+// composited onto black like PIL's .convert("RGB") on RGBA).
+bool decode_png(const char* path, std::vector<uint8_t>& pixels, int* w,
+                int* h) {
+  png_image image;
+  std::memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_file(&image, path)) return false;
+  image.format = PNG_FORMAT_RGB;
+  *w = static_cast<int>(image.width);
+  *h = static_cast<int>(image.height);
+  pixels.resize(PNG_IMAGE_SIZE(image));
+  if (!png_image_finish_read(&image, nullptr, pixels.data(), 0, nullptr)) {
+    png_image_free(&image);
+    return false;
+  }
+  return true;
+}
+
+// Sniff the container from magic bytes and decode to uint8 RGB.
+bool decode_image(const char* path, int min_side, bool fast_dct,
+                  std::vector<uint8_t>& pixels, int* w, int* h) {
+  unsigned char magic[8] = {0};
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  size_t got = std::fread(magic, 1, sizeof(magic), f);
+  std::fclose(f);
+  if (got >= 3 && magic[0] == 0xFF && magic[1] == 0xD8 && magic[2] == 0xFF)
+    return decode_jpeg(path, min_side, fast_dct, pixels, w, h);
+  if (got >= 8 && !std::memcmp(magic, "\x89PNG\r\n\x1a\n", 8))
+    return decode_png(path, pixels, w, h);
+  return false;
+}
+
 // Aspect-preserving resize dims: shorter side -> size (dataset.decode_resized).
 void resized_dims(int w, int h, int size, int* nw, int* nh) {
   const double scale = static_cast<double>(size) / (w < h ? w : h);
@@ -210,7 +245,7 @@ bool decode_resize_crop(const char* path, int size, float off_x, float off_y,
                         bool fast_dct, uint8_t* out) {
   std::vector<uint8_t> pix;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, size, fast_dct, pix, &w, &h)) return false;
+  if (!decode_image(path, size, fast_dct, pix, &w, &h)) return false;
   int nw = 0, nh = 0;
   resized_dims(w, h, size, &nw, &nh);
   // floor semantics match dataset.square_crop: off=0.5 -> (n-size)//2 center
@@ -330,7 +365,7 @@ long satn_decode_resized(const char* path, int size, int fast_dct,
                          int* out_h) {
   std::vector<uint8_t> pix;
   int w = 0, h = 0;
-  if (!decode_jpeg(path, size, fast_dct != 0, pix, &w, &h)) return 0;
+  if (!decode_image(path, size, fast_dct != 0, pix, &w, &h)) return 0;
   int nw = 0, nh = 0;
   resized_dims(w, h, size, &nw, &nh);
   const long needed = static_cast<long>(nw) * nh * 3;

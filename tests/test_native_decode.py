@@ -92,12 +92,26 @@ def test_extreme_aspect_needs_buffer_regrow(pool, tmp_path):
     assert arr is not None and arr.shape == ref.shape  # (64, 1280, 3)
 
 
+def test_png_decodes_natively(pool, tmp_path):
+    """PNGs are sniffed from magic bytes and decoded via libpng, matching PIL
+    (incl. RGBA composited like .convert('RGB'))."""
+    y, x = np.mgrid[0:64, 0:96]
+    arr = np.stack([x * 2, y * 3, x + y], -1).astype(np.uint8)
+    p = str(tmp_path / "a.png")
+    Image.fromarray(arr).save(p)
+    offs = np.full((1, 2), 0.5, np.float32)
+    out, ok = pool.decode_batch([p], 32, offs)
+    assert ok.all()
+    ref = square_crop(decode_resized(p, 32), 32)
+    assert np.abs(out[0].astype(int) - ref.astype(int)).max() <= 2
+
+
 def test_failures_flagged_not_fatal(pool, tmp_path):
-    png = str(tmp_path / "a.png")
-    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(png)
-    offs = np.full((3, 2), 0.5, np.float32)
-    out, ok = pool.decode_batch([png, str(tmp_path / "missing.jpg"), png],
-                                24, offs)
+    txt = str(tmp_path / "not_an_image.jpg")
+    with open(txt, "w") as f:
+        f.write("plain text, wrong magic")
+    offs = np.full((2, 2), 0.5, np.float32)
+    out, ok = pool.decode_batch([txt, str(tmp_path / "missing.jpg")], 24, offs)
     assert not ok.any()
     assert (out == 0).all()
 
@@ -125,10 +139,10 @@ def test_loader_native_matches_pil_loader(tmp_path):
     assert len(a) == len(b) == 1
     assert np.array_equal(a[0]["captions"], b[0]["captions"])
     diff = np.abs(a[0]["images"].astype(int) - b[0]["images"].astype(int))
-    # JPEG halves: near-identical modulo IDCT rounding; PNG halves: PIL
-    # fallback in both loaders, bitwise equal.
+    # JPEG halves: near-identical modulo IDCT rounding; PNG halves: lossless
+    # decode + PIL-matching resample, within rounding of the PIL loader.
     assert diff.mean() < 2.0
-    assert np.array_equal(a[0]["images"][1::2], b[0]["images"][1::2])
+    assert diff[1::2].max() <= 2
 
 
 def test_loader_train_native_shapes(tmp_path):
