@@ -223,7 +223,7 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         new_alphas = jnp.take_along_axis(alphas, parent[:, :, None, None], axis=1)
         step_alpha = jnp.take_along_axis(alpha, parent[:, :, None], axis=1)
         new_alphas = jax.lax.dynamic_update_index_in_dim(
-            new_alphas, step_alpha, t, axis=2)
+            new_alphas, step_alpha.astype(new_alphas.dtype), t, axis=2)
 
         return (new_tokens, new_scores, new_finished, new_flen, new_bar,
                 new_h, new_c, new_alphas), None

@@ -1,0 +1,158 @@
+"""Batch captioning CLI — the production serving path.
+
+The reference's only inference surfaces are notebooks looping one image at a
+time through ``SAT.caption()`` (reference: visualize.ipynb cell 1;
+model.py:252-260 decodes per image even for batches).  This CLI captions
+directories of images at full device throughput: native C++ decode pool on
+the host, one jitted encode+beam program reused across fixed-shape batches,
+JSONL out.
+
+    python -m sat_tpu.serve --checkpoint last.ckpt --images photos/ \
+        --batch 256 --beamk 3 --rescore_method LN --output captions.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+_IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def gather_images(specs: List[str]) -> List[str]:
+    """Expand dirs / globs / files into a sorted unique image-path list."""
+    paths: List[str] = []
+    for spec in specs:
+        if os.path.isdir(spec):
+            for root, _, files in os.walk(spec):
+                paths.extend(os.path.join(root, f) for f in files
+                             if f.lower().endswith(_IMG_EXTS))
+        elif any(ch in spec for ch in "*?["):
+            paths.extend(p for p in glob.glob(spec, recursive=True)
+                         if p.lower().endswith(_IMG_EXTS))
+        else:
+            paths.append(spec)
+    return sorted(dict.fromkeys(paths))
+
+
+def decode_images(paths: List[str], size: int, pool) -> np.ndarray:
+    """(N, size, size, 3) uint8 center crops; native pool with PIL fallback."""
+    from .data.dataset import decode_resized, square_crop
+    if pool is not None:
+        offs = np.full((len(paths), 2), 0.5, np.float32)
+        imgs, ok = pool.decode_batch(paths, size, offs)
+        bad = np.flatnonzero(~ok)
+    else:
+        imgs = np.zeros((len(paths), size, size, 3), np.uint8)
+        bad = np.arange(len(paths))
+    for j in bad:
+        imgs[j] = square_crop(decode_resized(paths[j], size), size)
+    return imgs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="batch image captioning")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--images", nargs="+", required=True,
+                   help="image files, directories, or globs")
+    p.add_argument("--batch", default=64, type=int)
+    p.add_argument("--beamk", default=3, type=int)
+    p.add_argument("--max_gen_length", default=32, type=int)
+    p.add_argument("--temperature", nargs="+", default=[1.0], type=float)
+    p.add_argument("--sample_method", default="beam",
+                   choices=["beam", "multinomial", "topk"])
+    p.add_argument("--sample_topk", default=3, type=int)
+    p.add_argument("--decoder_noise", default=None, type=float)
+    p.add_argument("--rescore_method", default="LN")
+    p.add_argument("--rescore_reward", default=0.5, type=float)
+    p.add_argument("--return_all", action="store_true",
+                   help="emit all beamk candidates per image")
+    p.add_argument("--precision", default=16, type=int, choices=[16, 32])
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--output", default="-", help="JSONL path ('-' = stdout)")
+    a = p.parse_args(argv)
+
+    paths = gather_images(a.images)
+    if not paths:
+        print("no images found", file=sys.stderr)
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+
+    from . import native
+    from .decode.api import unpack_beam_result
+    from .decode.beam import beam_search
+    from .train.checkpoints import load_model_from_checkpoint
+
+    model, variables, _ = load_model_from_checkpoint(a.checkpoint)
+    vocab = model.vocab
+    size = model.cfg.input_size
+    dt = jnp.bfloat16 if a.precision == 16 else jnp.float32
+    if a.precision == 16:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    rescore = None if a.rescore_method in ("None", "none", "") else a.rescore_method
+    temperature = (a.temperature[0] if len(a.temperature) == 1
+                   else list(a.temperature))
+
+    @jax.jit
+    def step(variables, images_u8, rng):
+        images = images_u8.astype(dt) / jnp.asarray(255.0, dt)
+        annots = model.encode(variables, images, train=False)
+        return beam_search(
+            variables["params"]["decoder"], model.cfg, annots, beamk=a.beamk,
+            max_gen_length=a.max_gen_length, temperature=temperature,
+            sample_method=a.sample_method, sample_topk=a.sample_topk,
+            decoder_noise=a.decoder_noise, rescore_method=rescore,
+            rescore_reward=a.rescore_reward, rng=rng)
+
+    pool = native.shared_pool()
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    rng = jax.random.PRNGKey(a.seed)
+    n_done, t0 = 0, time.time()
+    try:
+        for lo in range(0, len(paths), a.batch):
+            chunk = paths[lo:lo + a.batch]
+            imgs = decode_images(chunk, size, pool)
+            n = len(chunk)
+            if n < a.batch:  # pad the tail to the compiled shape
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], a.batch - n, axis=0)])
+            rng, step_rng = jax.random.split(rng)
+            res = step(variables, jnp.asarray(imgs), step_rng)
+            caps, scores, _, ppl = unpack_beam_result(
+                jax.device_get(res), model.grid_hw, return_all=a.return_all)
+            for i, path in enumerate(chunk):
+                if a.return_all:
+                    rec = {"image": path, "candidates": [
+                        {"caption": " ".join(vocab.itos(t) for t in c),
+                         "score": s, "perplexity": pp}
+                        for c, s, pp in zip(caps[i], scores[i], ppl[i])]}
+                else:
+                    rec = {"image": path,
+                           "caption": " ".join(vocab.itos(t) for t in caps[i]),
+                           "score": scores[i], "perplexity": ppl[i]}
+                out.write(json.dumps(rec) + "\n")
+            n_done += n
+            print(f"\r# {n_done}/{len(paths)} "
+                  f"({n_done / (time.time() - t0):.0f} imgs/s incl. compile)",
+                  end="", file=sys.stderr)
+        print(file=sys.stderr)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

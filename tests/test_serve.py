@@ -1,0 +1,79 @@
+"""Serving CLI (sat_tpu/serve.py): directory -> JSONL captions."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+from sat_tpu.config import SATConfig
+from sat_tpu.models.model import SATModel
+from sat_tpu.serve import gather_images, main as serve_main
+from sat_tpu.train.checkpoints import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def ckpt_and_images(tmp_path_factory):
+    out = tmp_path_factory.mktemp("serve")
+    v = 40
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    cfg = SATConfig(encoder_arch="squeezenet1_1", input_size=64,
+                    encoder_dim=24, vocab_size=v, vocab_stoi=stoi,
+                    embed_dim=12, attention_dim=12, decoder_dim=24,
+                    deep_output=True)
+    model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
+    ck = str(out / "m.ckpt")
+    save_checkpoint(ck, model.cfg, {
+        "params": jax.device_get(variables["params"]),
+        "state": jax.device_get(variables["state"]), "step": 0, "epoch": 0})
+    imgdir = out / "imgs"
+    imgdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        arr = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(imgdir / f"i{i}.png"))
+        Image.fromarray(arr).save(str(imgdir / f"j{i}.jpg"), quality=90)
+    return ck, str(imgdir)
+
+
+def test_gather_images(ckpt_and_images):
+    _, imgdir = ckpt_and_images
+    paths = gather_images([imgdir])
+    assert len(paths) == 10
+    assert gather_images([os.path.join(imgdir, "*.jpg")]) == paths[5:] or \
+        len(gather_images([os.path.join(imgdir, "*.jpg")])) == 5
+
+
+def test_serve_jsonl_output(ckpt_and_images, tmp_path):
+    ck, imgdir = ckpt_and_images
+    out = str(tmp_path / "caps.jsonl")
+    # batch 4 over 10 images exercises full batches + padded tail
+    rc = serve_main(["--checkpoint", ck, "--images", imgdir, "--batch", "4",
+                     "--beamk", "2", "--max_gen_length", "6",
+                     "--precision", "32", "--output", out])
+    assert rc == 0
+    recs = [json.loads(l) for l in open(out)]
+    assert len(recs) == 10
+    for r in recs:
+        assert os.path.exists(r["image"])
+        assert isinstance(r["caption"], str)
+        assert np.isfinite(r["score"]) and np.isfinite(r["perplexity"])
+        for w in r["caption"].split():
+            assert w not in ("<START>", "<PAD>")
+
+
+def test_serve_return_all(ckpt_and_images, tmp_path):
+    ck, imgdir = ckpt_and_images
+    out = str(tmp_path / "all.jsonl")
+    rc = serve_main(["--checkpoint", ck, "--images",
+                     os.path.join(imgdir, "i0.png"),
+                     "--batch", "2", "--beamk", "3", "--max_gen_length", "6",
+                     "--precision", "32", "--return_all", "--output", out])
+    assert rc == 0
+    (rec,) = [json.loads(l) for l in open(out)]
+    assert len(rec["candidates"]) == 3
+    scores = [c["score"] for c in rec["candidates"]]
+    assert scores == sorted(scores, reverse=True)
