@@ -91,8 +91,11 @@ def main(argv=None):
     from . import native
     from .decode.api import unpack_beam_result
     from .decode.beam import beam_search
+    from .parallel.mesh import (create_mesh, maybe_initialize_distributed,
+                                replicate_tree, shard_batch)
     from .train.checkpoints import load_model_from_checkpoint
 
+    maybe_initialize_distributed()
     model, variables, _ = load_model_from_checkpoint(a.checkpoint)
     vocab = model.vocab
     size = model.cfg.input_size
@@ -116,6 +119,17 @@ def main(argv=None):
             decoder_noise=a.decoder_noise, rescore_method=rescore,
             rescore_reward=a.rescore_reward, rng=rng)
 
+    # Data-parallel serving: shard the batch over every attached device
+    # (ICI collectives via jax.sharding; the reference can only serve on one
+    # GPU, SURVEY.md §2.6). Single-device this is a no-op.
+    mesh = create_mesh((-1,), ("data",))
+    n_dev = int(mesh.devices.size)
+    if a.batch % n_dev:
+        a.batch += n_dev - a.batch % n_dev
+        print(f"# batch rounded up to {a.batch} ({n_dev} devices)",
+              file=sys.stderr)
+    variables = replicate_tree(variables, mesh)
+
     pool = native.shared_pool()
     out = sys.stdout if a.output == "-" else open(a.output, "w")
     rng = jax.random.PRNGKey(a.seed)
@@ -129,7 +143,7 @@ def main(argv=None):
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], a.batch - n, axis=0)])
             rng, step_rng = jax.random.split(rng)
-            res = step(variables, jnp.asarray(imgs), step_rng)
+            res = step(variables, shard_batch(imgs, mesh), step_rng)
             caps, scores, _, ppl = unpack_beam_result(
                 jax.device_get(res), model.grid_hw, return_all=a.return_all)
             for i, path in enumerate(chunk):
