@@ -134,6 +134,31 @@ def main(argv=None):
     out = sys.stdout if a.output == "-" else open(a.output, "w")
     rng = jax.random.PRNGKey(a.seed)
     n_done, t0 = 0, time.time()
+
+    def emit(chunk, res):
+        nonlocal n_done
+        caps, scores, _, ppl = unpack_beam_result(
+            jax.device_get(res), model.grid_hw, return_all=a.return_all)
+        for i, path in enumerate(chunk):
+            if a.return_all:
+                rec = {"image": path, "candidates": [
+                    {"caption": " ".join(vocab.itos(t) for t in c),
+                     "score": s, "perplexity": pp}
+                    for c, s, pp in zip(caps[i], scores[i], ppl[i])]}
+            else:
+                rec = {"image": path,
+                       "caption": " ".join(vocab.itos(t) for t in caps[i]),
+                       "score": scores[i], "perplexity": ppl[i]}
+            out.write(json.dumps(rec) + "\n")
+        n_done += len(chunk)
+        print(f"\r# {n_done}/{len(paths)} "
+              f"({n_done / (time.time() - t0):.0f} imgs/s incl. compile)",
+              end="", file=sys.stderr)
+
+    # one-batch pipelining: dispatch batch N, then while the device runs it,
+    # decode batch N+1 on the host; fetch N's results only when N+1 is in
+    # flight (jax dispatch is async — device_get is the only sync point)
+    pending = None
     try:
         for lo in range(0, len(paths), a.batch):
             chunk = paths[lo:lo + a.batch]
@@ -144,23 +169,11 @@ def main(argv=None):
                     [imgs, np.repeat(imgs[-1:], a.batch - n, axis=0)])
             rng, step_rng = jax.random.split(rng)
             res = step(variables, shard_batch(imgs, mesh), step_rng)
-            caps, scores, _, ppl = unpack_beam_result(
-                jax.device_get(res), model.grid_hw, return_all=a.return_all)
-            for i, path in enumerate(chunk):
-                if a.return_all:
-                    rec = {"image": path, "candidates": [
-                        {"caption": " ".join(vocab.itos(t) for t in c),
-                         "score": s, "perplexity": pp}
-                        for c, s, pp in zip(caps[i], scores[i], ppl[i])]}
-                else:
-                    rec = {"image": path,
-                           "caption": " ".join(vocab.itos(t) for t in caps[i]),
-                           "score": scores[i], "perplexity": ppl[i]}
-                out.write(json.dumps(rec) + "\n")
-            n_done += n
-            print(f"\r# {n_done}/{len(paths)} "
-                  f"({n_done / (time.time() - t0):.0f} imgs/s incl. compile)",
-                  end="", file=sys.stderr)
+            if pending is not None:
+                emit(*pending)
+            pending = (chunk, res)
+        if pending is not None:
+            emit(*pending)
         print(file=sys.stderr)
     finally:
         if out is not sys.stdout:
