@@ -70,6 +70,38 @@ def test_train_two_epochs_with_validation(synth_json, tmp_path):
     assert res.tokens.shape[0] == 2
 
 
+def test_kitchen_sink_config_combo(synth_json, tmp_path):
+    """The less-common options combined in ONE run: multi-layer decoder,
+    weight tying, label smoothing, bucket sampler + caption trimming, grad
+    accumulation, bf16, scheduled-sampling TF, encoder finetuning gate,
+    cosine schedule with warmup, grad clip by norm, embedding max-norm.
+    Guards against config interactions no single-feature test crosses."""
+    cfg = small_cfg(synth_json, decoder_layers=2, weight_tying=True,
+                    label_smoothing=0.1, bucket_sampler=True, accumulate=2,
+                    precision=16, decoder_tf="inv_sigmoid", decoder_tf_min=0.5,
+                    encoder_finetune_after=1, encoder_lr=1e-4,
+                    scheduler="cosine", lr_warmup_steps=2, grad_clip="norm",
+                    clip_value=1.0, embed_norm=5.0, embedding_dropout=0.1,
+                    dropout=0.1, epochs=2)
+    trainer = Trainer(cfg, log_root=str(tmp_path / "logs"))
+    metrics = trainer.fit()
+    assert "bleu4" in metrics and np.isfinite(metrics["bleu4"])
+    # weight tying held in the trained params: no separate out_proj
+    params = jax.device_get(trainer.variables["params"]["decoder"])
+    assert "out_proj" not in params
+    # reload + decode from the self-contained checkpoint
+    ckpt = os.path.join(trainer.logdir, "last.ckpt")
+    model, variables, _ = load_model_from_checkpoint(ckpt)
+    assert model.cfg.decoder_layers == 2 and model.cfg.weight_tying
+    from sat_tpu.decode.beam import beam_search
+    import jax.numpy as jnp
+    annots = model.encode(variables, jnp.ones((2, 32, 32, 3)) * 0.4,
+                          train=False)
+    res = beam_search(variables["params"]["decoder"], model.cfg, annots,
+                      beamk=2, max_gen_length=6, rescore_method="LN")
+    assert res.tokens.shape[0] == 2
+
+
 def test_loss_decreases_on_overfit(synth_json, tmp_path):
     cfg = small_cfg(synth_json, epochs=5, decoder_lr=5e-3, val_interval=100,
                     aug_scale=1.0, aug_hflip=0.0, aug_noise_std=0.0)
