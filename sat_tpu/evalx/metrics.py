@@ -53,28 +53,55 @@ def closest_ref_length(references: Sequence[Sequence], hyp_len: int) -> int:
     return min((abs(len(r) - hyp_len), len(r)) for r in references)[1]
 
 
-def corpus_bleu(list_of_references: Sequence[Sequence[Sequence]],
-                hypotheses: Sequence[Sequence],
-                weights: Sequence[float] = (0.25, 0.25, 0.25, 0.25)) -> float:
-    """Corpus BLEU matching nltk.translate.bleu_score.corpus_bleu (no smoothing)."""
+def _corpus_stats(list_of_references: Sequence[Sequence[Sequence]],
+                  hypotheses: Sequence[Sequence], max_n: int = 4):
+    """One pass over the corpus: per-order clipped-precision sums (BLEU) and
+    per-sentence best-reference match/total sums (GLEU), counting each
+    sentence's n-grams exactly once for all orders.
+
+    GLEU note: everygram-counter intersection equals the sum of per-order
+    intersections because tuples of different lengths are distinct keys."""
     assert len(list_of_references) == len(hypotheses)
-    max_n = len(weights)
     num = [0] * (max_n + 1)
     den = [0] * (max_n + 1)
     hyp_len_total, ref_len_total = 0, 0
+    gleu_match, gleu_all = 0, 0
     for refs, hyp in zip(list_of_references, hypotheses):
         hyp_len_total += len(hyp)
         ref_len_total += closest_ref_length(refs, len(hyp))
-        for n in range(1, max_n + 1):
-            if weights[n - 1] == 0:
-                continue
-            c, t = modified_precision(refs, hyp, n)
-            num[n] += c
-            den[n] += t
+        hyp_c = [_count_ngrams(hyp, n) for n in range(1, max_n + 1)]
+        refs_c = [[_count_ngrams(ref, n) for n in range(1, max_n + 1)]
+                  for ref in refs]
+        for i, hc in enumerate(hyp_c):
+            max_ref: Counter = Counter()
+            for rc in refs_c:
+                for g, c in rc[i].items():
+                    if c > max_ref[g]:
+                        max_ref[g] = c
+            num[i + 1] += sum(min(c, max_ref[g]) for g, c in hc.items())
+            # nltk clamps the denominator to 1 for hypotheses shorter than n
+            den[i + 1] += max(1, sum(hc.values()))
+        tpfp = sum(sum(c.values()) for c in hyp_c)
+        candidates = []
+        for rc in refs_c:
+            tpfn = sum(sum(c.values()) for c in rc)
+            tp = sum(sum((rcn & hcn).values()) for rcn, hcn in zip(rc, hyp_c))
+            n_all = max(tpfp, tpfn)
+            if n_all > 0:
+                candidates.append((tp, n_all))
+        if candidates:
+            m, a = max(candidates, key=lambda x: x[0] / x[1])
+            gleu_match += m
+            gleu_all += a
+    return num, den, hyp_len_total, ref_len_total, gleu_match, gleu_all
+
+
+def _bleu_from_stats(num, den, hyp_len_total, ref_len_total,
+                     weights: Sequence[float]) -> float:
     if num[1] == 0:
         return 0.0
     s = 0.0
-    for n in range(1, max_n + 1):
+    for n in range(1, len(weights) + 1):
         w = weights[n - 1]
         if w == 0:
             continue
@@ -85,6 +112,15 @@ def corpus_bleu(list_of_references: Sequence[Sequence[Sequence]],
         math.exp(1 - ref_len_total / max(hyp_len_total, 1))
         if hyp_len_total > 0 else 0.0)
     return bp * math.exp(s)
+
+
+def corpus_bleu(list_of_references: Sequence[Sequence[Sequence]],
+                hypotheses: Sequence[Sequence],
+                weights: Sequence[float] = (0.25, 0.25, 0.25, 0.25)) -> float:
+    """Corpus BLEU matching nltk.translate.bleu_score.corpus_bleu (no smoothing)."""
+    num, den, hl, rl, _, _ = _corpus_stats(list_of_references, hypotheses,
+                                           max_n=len(weights))
+    return _bleu_from_stats(num, den, hl, rl, weights)
 
 
 def corpus_gleu(list_of_references: Sequence[Sequence[Sequence]],
@@ -135,6 +171,41 @@ def embedding_cosine_similarity(embedding: np.ndarray,
     return float(np.mean(sims)) if sims else 0.0
 
 
+def _cosine_vectorized(embedding: np.ndarray,
+                       captions: Sequence[Sequence[int]],
+                       encoded_captions: np.ndarray,
+                       lengths: np.ndarray) -> float:
+    """embedding_cosine_similarity computed with batched numpy over the
+    (B, R, T) reference arrays — same result, no per-sentence python loop."""
+    emb = np.asarray(embedding)
+    enc = np.asarray(encoded_captions)
+    lens = np.asarray(lengths)
+    b, r, t = enc.shape
+    # reference mean embeddings over tokens 1..l-1 (strip <START>, <END>/pads)
+    pos = np.arange(t)[None, None, :]
+    mask = (pos >= 1) & (pos < lens[:, :, None])          # (B, R, T)
+    rv = (emb[enc] * mask[..., None]).sum(2) / np.maximum(
+        mask.sum(2)[..., None], 1)                        # (B, R, E)
+    # caption mean embeddings (pad the ragged captions with a masked column)
+    tc = max((len(c) for c in captions), default=1) or 1
+    cap_arr = np.zeros((b, tc), np.int64)
+    cap_mask = np.zeros((b, tc), bool)
+    for i, c in enumerate(captions):
+        cap_arr[i, :len(c)] = c
+        cap_mask[i, :len(c)] = True
+    cv = (emb[cap_arr] * cap_mask[..., None]).sum(1) / np.maximum(
+        cap_mask.sum(1)[..., None], 1)                    # (B, E)
+    denom = np.linalg.norm(cv, axis=-1)[:, None] * np.linalg.norm(rv, axis=-1)
+    sims = np.einsum("be,bre->br", cv, rv) / np.maximum(denom, 1e-30)
+    sims = np.where(denom > 1e-8, sims, 0.0)
+    ref_nonempty = mask.any(2)                            # (B, R)
+    sims = np.where(ref_nonempty, sims, -1.0)             # empty refs skipped
+    best = sims.max(1)
+    cap_nonempty = cap_mask.any(1)
+    best = np.where(cap_nonempty, best, 0.0)              # empty caption -> 0
+    return float(best.mean()) if b else 0.0
+
+
 def score_captions(captions: Sequence[Sequence[int]],
                    encoded_captions: np.ndarray, lengths: np.ndarray,
                    embedding: Optional[np.ndarray] = None,
@@ -148,16 +219,20 @@ def score_captions(captions: Sequence[Sequence[int]],
         [list(map(int, refs[j][1:int(lengths[i][j])])) for j in range(len(refs))]
         for i, refs in enumerate(np.asarray(encoded_captions))]
     captions = [list(map(int, c)) for c in captions]
+    # one n-gram-counting pass serves BLEU-1..4 AND GLEU (4x less host work
+    # than four corpus_bleu calls — validation is host-scoring-bound on
+    # few-core machines now that the device decode is fast)
+    num, den, hl, rl, gm, ga = _corpus_stats(references, captions, max_n=4)
     metrics = {
-        "bleu1": corpus_bleu(references, captions, (1, 0, 0, 0)),
-        "bleu2": corpus_bleu(references, captions, (0.5, 0.5, 0, 0)),
-        "bleu3": corpus_bleu(references, captions, (1 / 3, 1 / 3, 1 / 3, 0)),
-        "bleu4": corpus_bleu(references, captions, (0.25, 0.25, 0.25, 0.25)),
-        "gleu": corpus_gleu(references, captions),
+        "bleu1": _bleu_from_stats(num, den, hl, rl, (1, 0, 0, 0)),
+        "bleu2": _bleu_from_stats(num, den, hl, rl, (0.5, 0.5, 0, 0)),
+        "bleu3": _bleu_from_stats(num, den, hl, rl, (1 / 3, 1 / 3, 1 / 3, 0)),
+        "bleu4": _bleu_from_stats(num, den, hl, rl, (0.25, 0.25, 0.25, 0.25)),
+        "gleu": gm / ga if ga else 0.0,
     }
     if embedding is not None:
-        metrics["cosine_similarity"] = embedding_cosine_similarity(
-            np.asarray(embedding), captions, references)
+        metrics["cosine_similarity"] = _cosine_vectorized(
+            np.asarray(embedding), captions, encoded_captions, lengths)
     if perplexities is not None and len(perplexities):
         metrics["perplexity"] = float(sum(perplexities) / len(perplexities))
     return metrics

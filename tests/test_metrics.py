@@ -92,3 +92,21 @@ def test_score_captions_bundle():
         warnings.simplefilter("ignore")
         want4 = nltk_bleu(refs_tok, caps, weights=(0.25,) * 4)
     assert abs(m["bleu4"] - want4) < 1e-9
+
+
+def test_cosine_vectorized_matches_loop_implementation():
+    """_cosine_vectorized (the score_captions fast path) == the reference-
+    style per-sentence loop, including empty-caption/empty-ref edge cases."""
+    from sat_tpu.evalx.metrics import (_cosine_vectorized,
+                                       embedding_cosine_similarity)
+    rng = np.random.default_rng(3)
+    B, R, T, V, E = 17, 5, 9, 50, 8
+    emb = rng.normal(size=(V, E)).astype(np.float32)
+    enc = rng.integers(1, V, (B, R, T))
+    lens = rng.integers(1, T, (B, R))   # length 1 -> empty ref (only <START>)
+    caps = [list(rng.integers(1, V, int(rng.integers(0, 7)))) for _ in range(B)]
+    refs = [[list(map(int, enc[i][j][1:int(lens[i][j])])) for j in range(R)]
+            for i in range(B)]
+    slow = embedding_cosine_similarity(emb, caps, refs)
+    fast = _cosine_vectorized(emb, caps, enc, lens)
+    assert abs(slow - fast) < 1e-5, (slow, fast)
