@@ -1,0 +1,127 @@
+"""Plain checkpoint evaluation CLI: BLEU-1..4 / GLEU / cosine / perplexity on
+a dataset split (the reference's evaluate.ipynb cell-1 "load checkpoint, score
+the test split" flow, minus the param search — that lives in evalx/search.py).
+
+Accepts BOTH checkpoint formats: a SAT-TPU ``.ckpt`` or a reference
+PyTorch-Lightning ``.ckpt`` (auto-detected; the Lightning file is imported
+through models/lightning_import.py). This is the BLEU-parity harness: point
+it at a trained reference checkpoint + the reference's dataset JSON and the
+score is directly comparable to the reference's logged val metrics.
+
+    python -m sat_tpu.evalx.evaluate --checkpoint v72.ckpt --json 128k256.json \
+        --split test --beamk 5 --rescore_method LN
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Optional
+
+
+def load_any_checkpoint(path: str):
+    """(model, variables) from a SAT-TPU or reference-Lightning .ckpt."""
+    from ..train.checkpoints import load_model_from_checkpoint
+    # SAT-TPU checkpoints start with a JSON config header line; Lightning
+    # checkpoints are zip (torch.save) archives: sniff the magic
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK":  # zip -> torch.save -> reference Lightning checkpoint
+        from ..models.lightning_import import load_reference_checkpoint
+        from ..models.model import SATModel
+        cfg, variables, grid = load_reference_checkpoint(path)
+        return SATModel(cfg, grid), variables
+    model, variables, _ = load_model_from_checkpoint(path)
+    return model, variables
+
+
+def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
+             max_gen_length: int = 32, temperature: float = 1.0,
+             rescore_method: Optional[str] = "LN", rescore_reward: float = 0.5,
+             limit_batches: Optional[int] = None, verbose: bool = True):
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.dataset import CaptionLoader
+    from ..decode.api import unpack_beam_result
+    from ..decode.beam import beam_search
+    from ..evalx.metrics import score_captions
+
+    loader = CaptionLoader(ds, min(batch_size, len(ds)), model.cfg.input_size,
+                           shuffle=False, train=False, drop_last=False)
+
+    @jax.jit
+    def decode(variables, images_u8):
+        images = images_u8.astype(jnp.float32) / 255.0
+        annots = model.encode(variables, images, train=False)
+        return beam_search(variables["params"]["decoder"], model.cfg, annots,
+                           beamk=beamk, max_gen_length=max_gen_length,
+                           temperature=temperature,
+                           rescore_method=rescore_method,
+                           rescore_reward=rescore_reward)
+
+    embedding = jax.device_get(variables["params"]["decoder"]["embedding"])
+    batch_metrics = []
+    n_images = 0
+    t0 = time.time()
+    bs = loader.batch_size
+    for i, batch in enumerate(loader):
+        if limit_batches is not None and i >= limit_batches:
+            break
+        n = batch["images"].shape[0]
+        imgs = batch["images"]
+        if n < bs:  # pad the tail to the compiled shape
+            import numpy as np
+            imgs = np.concatenate([imgs, np.repeat(imgs[-1:], bs - n, 0)])
+        res = decode(variables, jnp.asarray(imgs))
+        caps, _, _, ppl = unpack_beam_result(jax.device_get(res),
+                                             model.grid_hw, return_all=False)
+        m = score_captions(caps[:n], batch["captions"], batch["lengths"],
+                           embedding=embedding, perplexities=ppl[:n])
+        batch_metrics.append((n, m))
+        n_images += n
+        if verbose:
+            print(f"\r# batch {i + 1}/{len(loader)} ({n_images} images)",
+                  end="", file=sys.stderr)
+    if verbose:
+        print(f" in {time.time() - t0:.1f}s", file=sys.stderr)
+    total = sum(n for n, _ in batch_metrics)
+    keys = batch_metrics[0][1].keys() if batch_metrics else []
+    return {k: sum(n * m[k] for n, m in batch_metrics) / total for k in keys}
+
+
+def main(argv=None):
+    import argparse
+
+    from ..data.dataset import CaptionDataset
+
+    p = argparse.ArgumentParser(description="evaluate a checkpoint on a split")
+    p.add_argument("--checkpoint", required=True,
+                   help="SAT-TPU or reference-Lightning .ckpt")
+    p.add_argument("--json", default=None, help="dataset json (default: from ckpt)")
+    p.add_argument("--split", default="test", choices=["train", "val", "test"])
+    p.add_argument("--batch", default=64, type=int)
+    p.add_argument("--beamk", default=5, type=int)
+    p.add_argument("--max_gen_length", default=32, type=int)
+    p.add_argument("--temperature", default=1.0, type=float)
+    p.add_argument("--rescore_method", default="LN")
+    p.add_argument("--rescore_reward", default=0.5, type=float)
+    p.add_argument("--limit_batches", default=None, type=int)
+    a = p.parse_args(argv)
+
+    model, variables = load_any_checkpoint(a.checkpoint)
+    ds = CaptionDataset(a.json or model.cfg.json, a.split)
+    rescore = None if a.rescore_method in ("None", "none", "") else a.rescore_method
+    metrics = evaluate(model, variables, ds, batch_size=a.batch,
+                       beamk=a.beamk, max_gen_length=a.max_gen_length,
+                       temperature=a.temperature, rescore_method=rescore,
+                       rescore_reward=a.rescore_reward,
+                       limit_batches=a.limit_batches)
+    print(json.dumps({"split": a.split, "beamk": a.beamk, **
+                      {k: round(v, 5) for k, v in metrics.items()}}))
+    return metrics
+
+
+if __name__ == "__main__":
+    main()
