@@ -223,3 +223,31 @@ def test_decoder_noise_changes_output_and_decays():
     noisy = beam_search(params, cfg, annots, beamk=3, max_gen_length=10,
                         decoder_noise=2.0, rng=jax.random.PRNGKey(5))
     assert not np.array_equal(np.array(base.tokens), np.array(noisy.tokens))
+
+
+@pytest.mark.parametrize("seed,b,L,k,S,v,dec", [
+    (11, 2, 4, 2, 6, 23, 24),
+    (12, 4, 9, 5, 15, 47, 16),
+    (13, 1, 6, 3, 9, 31, 40),
+    (14, 3, 12, 6, 20, 63, 32),
+    (15, 2, 5, 4, 7, 19, 8),
+])
+def test_beam_oracle_fuzz_shapes(seed, b, L, k, S, v, dec):
+    """Token-exactness vs the literal reference oracle across randomized
+    shapes, beam widths, and horizons (catches mask/retirement off-by-ones
+    that a single shape can miss)."""
+    cfg = make_cfg(v=v, decoder_dim=dec, embed_dim=max(8, dec // 2),
+                   attention_dim=max(8, dec // 2))
+    params = D.init_decoder_params(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.default_rng(seed)
+    annots = rng.normal(size=(b, L, cfg.encoder_dim)).astype(np.float32)
+    res = beam_search(params, cfg, jnp.array(annots), beamk=k,
+                      max_gen_length=S, rescore_method="LN")
+    caps, scores, _, _ = unpack_beam_result(res, (1, L), return_all=True)
+    for i in range(b):
+        o_caps, o_scores, _ = oracle_beam(params, cfg, annots[i], k, S,
+                                          rescore_method="LN")
+        assert {tuple(c) for c in caps[i]} == {tuple(c) for c in o_caps}, \
+            (seed, i)
+        np.testing.assert_allclose(sorted(scores[i], reverse=True),
+                                   sorted(o_scores, reverse=True), atol=3e-4)
