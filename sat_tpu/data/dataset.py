@@ -201,9 +201,11 @@ class CaptionLoader:
         if self._native is None or self._img_cache is not None:
             return np.stack([self._load_one(i) for i in idxs])
         paths = [self.ds.img_paths[i] for i in idxs]
+        # train: uniform over the inclusive crop range; val: center (< 0 is
+        # the native pipeline's center-crop sentinel, == (n-size)//2)
         offs = (self._rng.random((len(idxs), 2)).astype(np.float32)
                 if self.train
-                else np.full((len(idxs), 2), 0.5, np.float32))
+                else np.full((len(idxs), 2), -1.0, np.float32))
         imgs, ok = self._native.decode_batch(paths, self.input_size, offs)
         for j in np.flatnonzero(~ok):
             imgs[j] = square_crop(

@@ -61,34 +61,46 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
                            rescore_method=rescore_method,
                            rescore_reward=rescore_reward)
 
+    import numpy as np
+
     embedding = jax.device_get(variables["params"]["decoder"]["embedding"])
-    batch_metrics = []
+    # Accumulate the WHOLE split, then score once: corpus BLEU/GLEU are
+    # nonlinear, so per-batch scores averaged together depend on the batch
+    # size and are NOT the corpus metric (nltk corpus_bleu over the split is
+    # what the reference logs and what parity requires).
+    all_caps, all_enc, all_lens, all_ppl = [], [], [], []
     n_images = 0
     t0 = time.time()
     bs = loader.batch_size
+    t_max = loader.ds.encoded_captions.shape[2]
     for i, batch in enumerate(loader):
         if limit_batches is not None and i >= limit_batches:
             break
         n = batch["images"].shape[0]
         imgs = batch["images"]
         if n < bs:  # pad the tail to the compiled shape
-            import numpy as np
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], bs - n, 0)])
         res = decode(variables, jnp.asarray(imgs))
         caps, _, _, ppl = unpack_beam_result(jax.device_get(res),
                                              model.grid_hw, return_all=False)
-        m = score_captions(caps[:n], batch["captions"], batch["lengths"],
-                           embedding=embedding, perplexities=ppl[:n])
-        batch_metrics.append((n, m))
+        all_caps.extend(caps[:n])
+        all_ppl.extend(ppl[:n])
+        enc = np.asarray(batch["captions"])
+        if enc.shape[2] < t_max:  # bucket-trimmed batches re-pad to stack
+            enc = np.pad(enc, ((0, 0), (0, 0), (0, t_max - enc.shape[2])))
+        all_enc.append(enc)
+        all_lens.append(np.asarray(batch["lengths"]))
         n_images += n
         if verbose:
             print(f"\r# batch {i + 1}/{len(loader)} ({n_images} images)",
                   end="", file=sys.stderr)
     if verbose:
         print(f" in {time.time() - t0:.1f}s", file=sys.stderr)
-    total = sum(n for n, _ in batch_metrics)
-    keys = batch_metrics[0][1].keys() if batch_metrics else []
-    return {k: sum(n * m[k] for n, m in batch_metrics) / total for k in keys}
+    if not all_caps:
+        return {}
+    return score_captions(all_caps, np.concatenate(all_enc),
+                          np.concatenate(all_lens), embedding=embedding,
+                          perplexities=all_ppl)
 
 
 def main(argv=None):

@@ -181,11 +181,17 @@ def _cosine_vectorized(embedding: np.ndarray,
     enc = np.asarray(encoded_captions)
     lens = np.asarray(lengths)
     b, r, t = enc.shape
-    # reference mean embeddings over tokens 1..l-1 (strip <START>, <END>/pads)
+    # reference mean embeddings over tokens 1..l-1 (strip <START>, <END>/pads);
+    # chunked over the batch so the (chunk, R, T, E) lookup temporary stays
+    # small at validation shapes
     pos = np.arange(t)[None, None, :]
     mask = (pos >= 1) & (pos < lens[:, :, None])          # (B, R, T)
-    rv = (emb[enc] * mask[..., None]).sum(2) / np.maximum(
-        mask.sum(2)[..., None], 1)                        # (B, R, E)
+    rv = np.empty((b, r, emb.shape[1]), emb.dtype)        # (B, R, E)
+    chunk = max(1, 2_000_000 // max(r * t * emb.shape[1], 1))
+    for lo in range(0, b, chunk):
+        sl = slice(lo, lo + chunk)
+        rv[sl] = (emb[enc[sl]] * mask[sl, ..., None]).sum(2) / np.maximum(
+            mask[sl].sum(2)[..., None], 1)
     # caption mean embeddings (pad the ragged captions with a masked column)
     tc = max((len(c) for c in captions), default=1) or 1
     cap_arr = np.zeros((b, tc), np.int64)

@@ -33,21 +33,19 @@ _build_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB, _SRC, "-ljpeg", "-lpng", "-lpthread"]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-    if proc.returncode != 0:
-        # -march=native can fail on exotic hosts; retry portable.
-        cmd.remove("-march=native")
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            "-o", _LIB, _SRC, "-ljpeg", "-lpng", "-lpthread"]
+    # -march=native first; fall back to the portable build on ANY failure
+    # (non-zero exit, missing g++, or timeout on a slow host)
+    for cmd in (base[:2] + ["-march=native"] + base[2:], base):
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=180)
         except (OSError, subprocess.TimeoutExpired):
-            return False
-    return proc.returncode == 0
+            continue
+        if proc.returncode == 0:
+            return True
+    return False
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -158,6 +156,7 @@ class DecodePool:
 
 
 _shared: Optional[DecodePool] = None
+_shared_lock = threading.Lock()
 
 
 def shared_pool() -> Optional[DecodePool]:
@@ -165,6 +164,7 @@ def shared_pool() -> Optional[DecodePool]:
     global _shared
     if not available():
         return None
-    if _shared is None:
-        _shared = DecodePool()
+    with _shared_lock:  # two racing first callers must not each build a pool
+        if _shared is None:
+            _shared = DecodePool()
     return _shared

@@ -232,10 +232,13 @@ bool decode_image(const char* path, int min_side, bool fast_dct,
 }
 
 // Aspect-preserving resize dims: shorter side -> size (dataset.decode_resized).
+// Python's round() is banker's (half-to-even); nearbyint under the default
+// FE_TONEAREST mode matches it, keeping native and PIL paths dim-identical
+// on exact-.5 products (e.g. 501x448 @224: round(250.5) = 250, not 251).
 void resized_dims(int w, int h, int size, int* nw, int* nh) {
   const double scale = static_cast<double>(size) / (w < h ? w : h);
-  *nw = static_cast<int>(std::lround(w * scale));
-  *nh = static_cast<int>(std::lround(h * scale));
+  *nw = static_cast<int>(std::nearbyint(w * scale));
+  *nh = static_cast<int>(std::nearbyint(h * scale));
   if (*nw < size) *nw = size;
   if (*nh < size) *nh = size;
 }
@@ -248,9 +251,16 @@ bool decode_resize_crop(const char* path, int size, float off_x, float off_y,
   if (!decode_image(path, size, fast_dct, pix, &w, &h)) return false;
   int nw = 0, nh = 0;
   resized_dims(w, h, size, &nw, &nh);
-  // floor semantics match dataset.square_crop: off=0.5 -> (n-size)//2 center
-  const int left = static_cast<int>(off_x * (nw - size));
-  const int top = static_cast<int>(off_y * (nh - size));
+  // Offset contract: off < 0 means center crop ((n-size)//2, matching
+  // square_crop's default); otherwise off in [0,1) maps uniformly onto the
+  // inclusive range {0..n-size} like rng.integers(0, n-size+1).
+  auto crop_pos = [](float off, int span) {
+    if (off < 0.0f) return span / 2;
+    int p = static_cast<int>(off * (span + 1));
+    return p > span ? span : p;
+  };
+  const int left = crop_pos(off_x, nw - size);
+  const int top = crop_pos(off_y, nh - size);
   // Horizontal pass over all rows (vertical taps need them) but only the
   // cropped columns: the window [left, left+size) of the virtual nw-wide
   // resized image maps straight to source space, so coefficients for the
@@ -270,6 +280,8 @@ bool decode_resize_crop(const char* path, int size, float off_x, float off_y,
 // ---------------------------------------------------------------------------
 struct Pool {
   std::vector<std::thread> threads;
+  std::mutex run_m;  // serializes concurrent run() callers (shared_pool is
+                     // process-wide and Python prefetch threads can overlap)
   std::mutex m;
   std::condition_variable cv_work, cv_done;
   std::function<void(int)> job;
@@ -307,6 +319,7 @@ struct Pool {
 
   void run(int n, std::function<void(int)> fn) {
     if (n <= 0) return;
+    std::lock_guard<std::mutex> run_lk(run_m);
     {
       std::lock_guard<std::mutex> lk(m);
       job = std::move(fn);

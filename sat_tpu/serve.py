@@ -43,19 +43,25 @@ def gather_images(specs: List[str]) -> List[str]:
     return sorted(dict.fromkeys(paths))
 
 
-def decode_images(paths: List[str], size: int, pool) -> np.ndarray:
-    """(N, size, size, 3) uint8 center crops; native pool with PIL fallback."""
+def decode_images(paths: List[str], size: int, pool):
+    """(N, size, size, 3) uint8 center crops + per-image ok mask; native pool
+    with PIL fallback. A corrupt/undecodable file must NOT kill the serving
+    run — it is flagged ok=False and the caller emits an error record."""
     from .data.dataset import decode_resized, square_crop
+    n = len(paths)
     if pool is not None:
-        offs = np.full((len(paths), 2), 0.5, np.float32)
+        offs = np.full((n, 2), -1.0, np.float32)  # center-crop sentinel
         imgs, ok = pool.decode_batch(paths, size, offs)
-        bad = np.flatnonzero(~ok)
     else:
-        imgs = np.zeros((len(paths), size, size, 3), np.uint8)
-        bad = np.arange(len(paths))
-    for j in bad:
-        imgs[j] = square_crop(decode_resized(paths[j], size), size)
-    return imgs
+        imgs = np.zeros((n, size, size, 3), np.uint8)
+        ok = np.zeros(n, bool)
+    for j in np.flatnonzero(~ok):
+        try:
+            imgs[j] = square_crop(decode_resized(paths[j], size), size)
+            ok[j] = True
+        except Exception:
+            pass  # stays ok=False
+    return imgs, ok
 
 
 def main(argv=None):
@@ -135,12 +141,14 @@ def main(argv=None):
     rng = jax.random.PRNGKey(a.seed)
     n_done, t0 = 0, time.time()
 
-    def emit(chunk, res):
+    def emit(chunk, ok, res):
         nonlocal n_done
         caps, scores, _, ppl = unpack_beam_result(
             jax.device_get(res), model.grid_hw, return_all=a.return_all)
         for i, path in enumerate(chunk):
-            if a.return_all:
+            if not ok[i]:
+                rec = {"image": path, "error": "undecodable image"}
+            elif a.return_all:
                 rec = {"image": path, "candidates": [
                     {"caption": " ".join(vocab.itos(t) for t in c),
                      "score": s, "perplexity": pp}
@@ -162,7 +170,7 @@ def main(argv=None):
     try:
         for lo in range(0, len(paths), a.batch):
             chunk = paths[lo:lo + a.batch]
-            imgs = decode_images(chunk, size, pool)
+            imgs, ok = decode_images(chunk, size, pool)
             n = len(chunk)
             if n < a.batch:  # pad the tail to the compiled shape
                 imgs = np.concatenate(
@@ -171,7 +179,7 @@ def main(argv=None):
             res = step(variables, shard_batch(imgs, mesh), step_rng)
             if pending is not None:
                 emit(*pending)
-            pending = (chunk, res)
+            pending = (chunk, ok, res)
         if pending is not None:
             emit(*pending)
         print(file=sys.stderr)

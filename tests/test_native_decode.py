@@ -51,7 +51,7 @@ def test_resample_matches_pil(pool, jpegs):
     """Full-IDCT decode + our resample vs PIL decode + PIL BILINEAR resize:
     same pixels to within rounding (1 LSB)."""
     size = 224
-    offs = np.full((len(jpegs), 2), 0.5, np.float32)
+    offs = np.full((len(jpegs), 2), -1.0, np.float32)
     out, ok = pool.decode_batch(jpegs, size, offs, fast_dct=False)
     assert ok.all()
     for i, p in enumerate(jpegs):
@@ -63,7 +63,7 @@ def test_resample_matches_pil(pool, jpegs):
 def test_fast_dct_close(pool, jpegs):
     """IDCT scaling decodes at ~target resolution; small numeric drift only."""
     size = 128
-    offs = np.full((len(jpegs), 2), 0.5, np.float32)
+    offs = np.full((len(jpegs), 2), -1.0, np.float32)
     out, ok = pool.decode_batch(jpegs, size, offs, fast_dct=True)
     assert ok.all()
     for i, p in enumerate(jpegs):
@@ -99,7 +99,7 @@ def test_png_decodes_natively(pool, tmp_path):
     arr = np.stack([x * 2, y * 3, x + y], -1).astype(np.uint8)
     p = str(tmp_path / "a.png")
     Image.fromarray(arr).save(p)
-    offs = np.full((1, 2), 0.5, np.float32)
+    offs = np.full((1, 2), -1.0, np.float32)
     out, ok = pool.decode_batch([p], 32, offs)
     assert ok.all()
     ref = square_crop(decode_resized(p, 32), 32)
@@ -110,7 +110,7 @@ def test_failures_flagged_not_fatal(pool, tmp_path):
     txt = str(tmp_path / "not_an_image.jpg")
     with open(txt, "w") as f:
         f.write("plain text, wrong magic")
-    offs = np.full((2, 2), 0.5, np.float32)
+    offs = np.full((2, 2), -1.0, np.float32)
     out, ok = pool.decode_batch([txt, str(tmp_path / "missing.jpg")], 24, offs)
     assert not ok.any()
     assert (out == 0).all()

@@ -77,3 +77,20 @@ def test_serve_return_all(ckpt_and_images, tmp_path):
     assert len(rec["candidates"]) == 3
     scores = [c["score"] for c in rec["candidates"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_serve_corrupt_file_yields_error_record(ckpt_and_images, tmp_path):
+    """A corrupt image must produce an error JSONL record, not kill the run."""
+    ck, imgdir = ckpt_and_images
+    bad = str(tmp_path / "corrupt.jpg")
+    with open(bad, "w") as f:
+        f.write("not an image at all")
+    out = str(tmp_path / "mix.jsonl")
+    rc = serve_main(["--checkpoint", ck, "--images", bad,
+                     os.path.join(imgdir, "i0.png"), "--batch", "2",
+                     "--beamk", "2", "--max_gen_length", "5",
+                     "--precision", "32", "--output", out])
+    assert rc == 0
+    recs = {json.loads(l)["image"]: json.loads(l) for l in open(out)}
+    assert "error" in recs[bad] and "caption" not in recs[bad]
+    assert "caption" in recs[os.path.join(imgdir, "i0.png")]
