@@ -171,6 +171,31 @@ def embedding_cosine_similarity(embedding: np.ndarray,
     return float(np.mean(sims)) if sims else 0.0
 
 
+def _native_corpus_stats(captions, encoded_captions, lengths):
+    """C++ thread-pool BLEU/GLEU stats (sat_tpu/native), or None to fall back.
+    References are the token runs enc[b, r, 1:l] (strip <START>, keep words)."""
+    try:
+        from .. import native
+        pool = native.shared_pool()
+    except Exception:
+        return None
+    if pool is None:
+        return None
+    b = len(captions)
+    if b == 0:
+        return None
+    ht = max((len(c) for c in captions), default=1) or 1
+    hyps = np.zeros((b, ht), np.int32)
+    hyp_lens = np.zeros(b, np.int32)
+    for i, c in enumerate(captions):
+        hyps[i, :len(c)] = c
+        hyp_lens[i] = len(c)
+    enc = np.asarray(encoded_captions, np.int32)
+    refs = enc[:, :, 1:]                                   # strip <START>
+    ref_lens = np.asarray(lengths, np.int32) - 1           # word-run lengths
+    return pool.corpus_stats(hyps, hyp_lens, refs, np.maximum(ref_lens, 0))
+
+
 def _cosine_vectorized(embedding: np.ndarray,
                        captions: Sequence[Sequence[int]],
                        encoded_captions: np.ndarray,
@@ -221,14 +246,19 @@ def score_captions(captions: Sequence[Sequence[int]],
 
     encoded_captions: (B, R, T); lengths: (B, R).  References strip <START>
     and trailing <END>/pads via c[1:l] (reference: model.py:648)."""
-    references = [
-        [list(map(int, refs[j][1:int(lengths[i][j])])) for j in range(len(refs))]
-        for i, refs in enumerate(np.asarray(encoded_captions))]
     captions = [list(map(int, c)) for c in captions]
     # one n-gram-counting pass serves BLEU-1..4 AND GLEU (4x less host work
     # than four corpus_bleu calls — validation is host-scoring-bound on
-    # few-core machines now that the device decode is fast)
-    num, den, hl, rl, gm, ga = _corpus_stats(references, captions, max_n=4)
+    # few-core machines now that the device decode is fast); the native C++
+    # thread-pool counter (bit-identical integer stats) takes it when built
+    stats = _native_corpus_stats(captions, encoded_captions, lengths)
+    if stats is None:
+        references = [
+            [list(map(int, refs[j][1:int(lengths[i][j])]))
+             for j in range(len(refs))]
+            for i, refs in enumerate(np.asarray(encoded_captions))]
+        stats = _corpus_stats(references, captions, max_n=4)
+    num, den, hl, rl, gm, ga = stats
     metrics = {
         "bleu1": _bleu_from_stats(num, den, hl, rl, (1, 0, 0, 0)),
         "bleu2": _bleu_from_stats(num, den, hl, rl, (0.5, 0.5, 0, 0)),

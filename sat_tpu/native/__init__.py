@@ -78,6 +78,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_long,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.satn_corpus_stats.restype = None
+        lib.satn_corpus_stats.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_long)]
         _lib = lib
         return _lib
 
@@ -142,6 +148,30 @@ class DecodePool:
                 return buf[:ret].reshape(h.value, w.value, 3).copy()
             cap = -ret  # buffer too small: retry once with the exact size
         return None
+
+    def corpus_stats(self, hyps: np.ndarray, hyp_lens: np.ndarray,
+                     refs: np.ndarray, ref_lens: np.ndarray):
+        """BLEU/GLEU corpus statistics (mirror of metrics._corpus_stats).
+
+        hyps (B, HT) int32 padded; hyp_lens (B,); refs (B, R, T) int32 with
+        runs refs[b, r, :ref_lens[b, r]] (caller strips <START>/<END>).
+        Returns (num[0..4], den[0..4], hyp_len_total, ref_len_total,
+        gleu_match, gleu_all) with num/den 1-indexed like the Python path."""
+        hyps = np.ascontiguousarray(hyps, np.int32)
+        hyp_lens = np.ascontiguousarray(hyp_lens, np.int32)
+        refs = np.ascontiguousarray(refs, np.int32)
+        ref_lens = np.ascontiguousarray(ref_lens, np.int32)
+        b, ht = hyps.shape
+        _, r, t = refs.shape
+        out = np.zeros(12, np.int64)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        self._lib.satn_corpus_stats(
+            self._pool, hyps.ctypes.data_as(i32), hyp_lens.ctypes.data_as(i32),
+            b, ht, refs.ctypes.data_as(i32), ref_lens.ctypes.data_as(i32),
+            r, t, out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+        num = [0] + [int(x) for x in out[0:4]]
+        den = [0] + [int(x) for x in out[4:8]]
+        return (num, den, int(out[8]), int(out[9]), int(out[10]), int(out[11]))
 
     def close(self) -> None:
         if self._pool is not None:

@@ -21,8 +21,10 @@
 // passes) so the native path is a drop-in for dataset.decode_resized: same
 // antialiasing, tolerance-tested against PIL in tests/test_native_decode.py.
 
+#include <array>
 #include <atomic>
 #include <cmath>
+#include <unordered_map>
 #include <condition_variable>
 #include <csetjmp>
 #include <cstdint>
@@ -391,6 +393,163 @@ long satn_decode_resized(const char* path, int size, int fast_dct,
   *out_w = nw;
   *out_h = nh;
   return needed;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Corpus BLEU/GLEU statistics (exact mirror of evalx/metrics._corpus_stats):
+// per-order clipped-precision sums + GLEU best-reference match/total sums.
+// Validation is host-scoring-bound once device decode is fast; this moves the
+// n-gram counting onto the C++ thread pool. Counts are integers, so results
+// are bit-identical to the Python path (which stays as fallback + oracle).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kMaxN = 4;
+
+struct Gram {
+  int32_t t[kMaxN];
+  int8_t n;
+  bool operator==(const Gram& o) const {
+    if (n != o.n) return false;
+    for (int i = 0; i < n; ++i)
+      if (t[i] != o.t[i]) return false;
+    return true;
+  }
+};
+
+struct GramHash {
+  size_t operator()(const Gram& g) const {
+    uint64_t h = 1469598103934665603ull ^ static_cast<uint64_t>(g.n);
+    for (int i = 0; i < g.n; ++i) {
+      h ^= static_cast<uint64_t>(static_cast<uint32_t>(g.t[i]));
+      h *= 1099511628211ull;
+    }
+    return static_cast<size_t>(h ^ (h >> 32));
+  }
+};
+
+using GramCount = std::unordered_map<Gram, int, GramHash>;
+
+void count_ngrams(const int32_t* seq, int len, int n, GramCount& out) {
+  for (int i = 0; i + n <= len; ++i) {
+    Gram g;
+    g.n = static_cast<int8_t>(n);
+    for (int j = 0; j < n; ++j) g.t[j] = seq[i + j];
+    ++out[g];
+  }
+}
+
+struct SentenceStats {
+  long num[kMaxN + 1] = {0};
+  long den[kMaxN + 1] = {0};
+  long hyp_len = 0, ref_len = 0;
+  long gleu_match = 0, gleu_all = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// hyps: (B, HT) int32 padded; hyp_lens: (B,). refs: (B, R, T) int32; ref token
+// runs are refs[b][r][0:ref_lens[b][r]] (caller pre-strips <START>/<END>).
+// out: 12 longs — num[1..4], den[1..4], hyp_len_total, ref_len_total,
+// gleu_match, gleu_all.
+void satn_corpus_stats(void* pool, const int32_t* hyps, const int32_t* hyp_lens,
+                       int b, int ht, const int32_t* refs,
+                       const int32_t* ref_lens, int r, int t, long* out) {
+  std::vector<SentenceStats> stats(b);
+  auto work = [&](int i) {
+    SentenceStats& s = stats[i];
+    const int32_t* hyp = hyps + static_cast<size_t>(i) * ht;
+    const int hlen = hyp_lens[i];
+    s.hyp_len = hlen;
+    // closest reference length, ties toward the shorter (nltk rule)
+    int best_diff = 1 << 30, best_len = 0;
+    for (int j = 0; j < r; ++j) {
+      const int rl = ref_lens[static_cast<size_t>(i) * r + j];
+      const int diff = rl > hlen ? rl - hlen : hlen - rl;
+      if (diff < best_diff || (diff == best_diff && rl < best_len)) {
+        best_diff = diff;
+        best_len = rl;
+      }
+    }
+    s.ref_len = best_len;
+
+    GramCount hyp_c[kMaxN];
+    for (int n = 1; n <= kMaxN; ++n)
+      count_ngrams(hyp, hlen, n, hyp_c[n - 1]);
+    std::vector<std::array<GramCount, kMaxN>> ref_c(r);
+    for (int j = 0; j < r; ++j) {
+      const int32_t* ref = refs + (static_cast<size_t>(i) * r + j) * t;
+      const int rl = ref_lens[static_cast<size_t>(i) * r + j];
+      for (int n = 1; n <= kMaxN; ++n)
+        count_ngrams(ref, rl, n, ref_c[j][n - 1]);
+    }
+    // BLEU clipped precision per order
+    for (int n = 1; n <= kMaxN; ++n) {
+      long clipped = 0, total = 0;
+      for (const auto& kv : hyp_c[n - 1]) {
+        int max_ref = 0;
+        for (int j = 0; j < r; ++j) {
+          auto it = ref_c[j][n - 1].find(kv.first);
+          if (it != ref_c[j][n - 1].end() && it->second > max_ref)
+            max_ref = it->second;
+        }
+        clipped += kv.second < max_ref ? kv.second : max_ref;
+        total += kv.second;
+      }
+      s.num[n] = clipped;
+      s.den[n] = total < 1 ? 1 : total;  // nltk's denominator clamp
+    }
+    // GLEU: best reference by tp/n_all ratio
+    long tpfp = 0;
+    for (int n = 0; n < kMaxN; ++n)
+      for (const auto& kv : hyp_c[n]) tpfp += kv.second;
+    long best_tp = 0, best_all = 0;
+    bool have = false;
+    for (int j = 0; j < r; ++j) {
+      long tpfn = 0, tp = 0;
+      for (int n = 0; n < kMaxN; ++n) {
+        for (const auto& kv : ref_c[j][n]) {
+          tpfn += kv.second;
+          auto it = hyp_c[n].find(kv.first);
+          if (it != hyp_c[n].end())
+            tp += kv.second < it->second ? kv.second : it->second;
+        }
+      }
+      const long n_all = tpfp > tpfn ? tpfp : tpfn;
+      if (n_all > 0 &&
+          (!have || tp * best_all > best_tp * n_all)) {  // tp/all strictly >
+        best_tp = tp;
+        best_all = n_all;
+        have = true;
+      }
+    }
+    if (have) {
+      s.gleu_match = best_tp;
+      s.gleu_all = best_all;
+    }
+  };
+  if (pool) {
+    static_cast<Pool*>(pool)->run(b, work);
+  } else {
+    for (int i = 0; i < b; ++i) work(i);
+  }
+  // layout: num[1..4] den[1..4] hyp_len ref_len gleu_match gleu_all
+  for (int i = 0; i < 12; ++i) out[i] = 0;
+  for (const SentenceStats& s : stats) {
+    for (int n = 1; n <= kMaxN; ++n) {
+      out[n - 1] += s.num[n];
+      out[4 + n - 1] += s.den[n];
+    }
+    out[8] += s.hyp_len;
+    out[9] += s.ref_len;
+    out[10] += s.gleu_match;
+    out[11] += s.gleu_all;
+  }
 }
 
 }  // extern "C"

@@ -110,3 +110,25 @@ def test_cosine_vectorized_matches_loop_implementation():
     slow = embedding_cosine_similarity(emb, caps, refs)
     fast = _cosine_vectorized(emb, caps, enc, lens)
     assert abs(slow - fast) < 1e-5, (slow, fast)
+
+
+def test_native_corpus_stats_bitwise_matches_python():
+    """The C++ corpus-stats counter returns the exact integer statistics of
+    the Python _corpus_stats path (BLEU nums/dens, lengths, GLEU sums)."""
+    from sat_tpu import native
+    from sat_tpu.evalx.metrics import _corpus_stats, _native_corpus_stats
+    if not native.available():
+        pytest.skip("native lib not buildable")
+    rng = np.random.default_rng(9)
+    for trial in range(5):
+        B, R, T, V = int(rng.integers(1, 30)), 5, 12, 40
+        enc = rng.integers(1, V, (B, R, T)).astype(np.int32)
+        lens = rng.integers(1, T, (B, R)).astype(np.int32)  # 1 -> empty ref
+        caps = [list(map(int, rng.integers(1, V, int(rng.integers(0, 10)))))
+                for _ in range(B)]
+        refs_lists = [[list(map(int, enc[i][j][1:int(lens[i][j])]))
+                       for j in range(R)] for i in range(B)]
+        py = _corpus_stats(refs_lists, caps, max_n=4)
+        nat = _native_corpus_stats(caps, enc, lens)
+        assert nat is not None
+        assert py == nat, (trial, py, nat)
