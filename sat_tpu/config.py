@@ -271,6 +271,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "deep_output")
     p.add_argument("--att_gamma", default=d.att_gamma, type=float)
     p.add_argument("--mesh_shape", nargs="+", default=list(d.mesh_shape), type=int)
+    p.add_argument("--mesh_axes", nargs="+", default=list(d.mesh_axes), type=str,
+                   help="mesh axis names; 'data model' enables vocab-dim "
+                        "tensor parallelism on the second axis")
     p.add_argument("--resume", default=None, type=str,
                    help="checkpoint path to resume training from")
     p.add_argument("--profile_dir", default=None, type=str,
@@ -281,6 +284,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def config_from_args(argv: Optional[Sequence[str]] = None) -> SATConfig:
     args = build_arg_parser().parse_args(argv)
     kw = vars(args)
-    for key in ("mean", "std", "milestones", "mesh_shape"):
+    for key in ("mean", "std", "milestones", "mesh_shape", "mesh_axes"):
         kw[key] = tuple(kw[key])
     return SATConfig(**kw).validate()

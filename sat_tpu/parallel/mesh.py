@@ -46,8 +46,16 @@ def create_mesh(mesh_shape: Sequence[int] = (-1,),
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch tensors: shard axis 0 over the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Batch tensors: shard axis 0 over EVERY mesh axis.
+
+    On a 1-D ("data",) mesh this is plain data parallelism.  On a 2-D
+    (data, model) mesh the batch still spreads across all chips — the model
+    axis only changes how the vocab tables are laid out, not how many images
+    each chip sees.  (Sharding the batch over just "data" on a 2-D mesh also
+    trips an XLA GSPMD grouped-conv backward bug: depthwise-conv kernel grads
+    come back multiplied by the model-axis size — caught by
+    tests/test_parallel.py::test_tp_vocab_sharding_matches_dp.)"""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -63,3 +71,56 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+# ---------------------------------------------------------------------------
+# Optional vocab-dim model parallelism (SURVEY.md §2.6: "optional mesh axis
+# for the vocab projection").  The decoder's two vocab-sized matrices — the
+# embedding table (V, E) and the DeepOutput projection (E, V) — dominate the
+# decoder's parameter count at production vocab sizes; sharding them over a
+# "model" mesh axis splits both the matmul FLOPs of the logit projection and
+# the HBM residency of the tables/optimizer moments across chips.  GSPMD
+# inserts the collectives: the logit matmul partitions on the vocab dim and
+# the (k·V) top-k all-gathers a (B, V) slab — tiny next to the tables.
+# Everything else (LSTM, attention, CNN encoder) replicates: at SAT scale
+# those fit per-chip, and replicated weights keep the decode scan
+# collective-free.  Enable with  --mesh_shape D M --mesh_axes data model.
+
+MODEL_AXIS = "model"
+
+
+def _vocab_spec(path, leaf, model_size: int):
+    """PartitionSpec for one param/opt-state leaf under vocab-dim TP.
+
+    Matches by path suffix so the same rules cover the raw param tree AND
+    optimizer-state trees (optax mu/nu mirror the param dict structure)."""
+    keys = [getattr(k, "key", None) for k in path]
+    nd = getattr(leaf, "ndim", 0)
+    shape = getattr(leaf, "shape", ())
+    if "embedding" in keys and nd == 2 and shape[0] % model_size == 0:
+        return P(MODEL_AXIS, None)          # (V, E) rows over the model axis
+    if "out_proj" in keys:
+        if keys[-1] == "w" and nd == 2 and shape[1] % model_size == 0:
+            return P(None, MODEL_AXIS)      # (E, V) columns over the model axis
+        if keys[-1] == "b" and nd == 1 and shape[0] % model_size == 0:
+            return P(MODEL_AXIS)
+    return P()
+
+
+def tree_shardings(tree: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for params/opt-state: vocab-dim TP rules when the
+    mesh has a >1-sized "model" axis, fully replicated otherwise."""
+    if MODEL_AXIS not in mesh.axis_names or mesh.shape[MODEL_AXIS] <= 1:
+        sh = replicated(mesh)
+        return jax.tree_util.tree_map(lambda _: sh, tree)
+    msize = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _vocab_spec(path, leaf, msize)),
+        tree)
+
+
+def place_tree(tree: Any, mesh: Mesh) -> Any:
+    """Put a params/opt-state pytree on the mesh under `tree_shardings`.
+    Drop-in upgrade of `replicate_tree` that activates vocab-dim TP when the
+    mesh carries a "model" axis."""
+    return jax.tree_util.tree_map(jax.device_put, tree, tree_shardings(tree, mesh))

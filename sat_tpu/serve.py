@@ -81,6 +81,10 @@ def main(argv=None):
     p.add_argument("--rescore_reward", default=0.5, type=float)
     p.add_argument("--return_all", action="store_true",
                    help="emit all beamk candidates per image")
+    p.add_argument("--mesh_shape", nargs="+", default=[-1], type=int)
+    p.add_argument("--mesh_axes", nargs="+", default=["data"], type=str,
+                   help="'data model' shards the vocab projection/embedding "
+                        "over the second axis (vocab-dim tensor parallelism)")
     p.add_argument("--precision", default=16, type=int, choices=[16, 32])
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--output", default="-", help="JSONL path ('-' = stdout)")
@@ -98,7 +102,7 @@ def main(argv=None):
     from .decode.api import unpack_beam_result
     from .decode.beam import beam_search
     from .parallel.mesh import (create_mesh, maybe_initialize_distributed,
-                                replicate_tree, shard_batch)
+                                place_tree, shard_batch)
     from .train.checkpoints import load_model_from_checkpoint
 
     maybe_initialize_distributed()
@@ -127,14 +131,16 @@ def main(argv=None):
 
     # Data-parallel serving: shard the batch over every attached device
     # (ICI collectives via jax.sharding; the reference can only serve on one
-    # GPU, SURVEY.md §2.6). Single-device this is a no-op.
-    mesh = create_mesh((-1,), ("data",))
+    # GPU, SURVEY.md §2.6). Single-device this is a no-op.  With
+    # --mesh_axes data model the vocab projection/embedding additionally
+    # shard over the model axis (place_tree's vocab-dim TP rules).
+    mesh = create_mesh(tuple(a.mesh_shape), tuple(a.mesh_axes))
     n_dev = int(mesh.devices.size)
     if a.batch % n_dev:
         a.batch += n_dev - a.batch % n_dev
         print(f"# batch rounded up to {a.batch} ({n_dev} devices)",
               file=sys.stderr)
-    variables = replicate_tree(variables, mesh)
+    variables = place_tree(variables, mesh)
 
     pool = native.shared_pool()
     out = sys.stdout if a.output == "-" else open(a.output, "w")

@@ -31,7 +31,7 @@ from ..evalx.metrics import score_captions
 from ..models.model import SATModel
 from ..models.sat import (flatten_caption_batch, repeat_annotations, sat_loss,
                           train_forward, train_forward_loss)
-from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import create_mesh, place_tree, shard_batch
 from .checkpoints import (RestartCheckpointManager, TopKCheckpointManager,
                           save_checkpoint)
 from .logging import MetricsLogger, next_version_dir
@@ -112,8 +112,14 @@ class Trainer:
 
         # -- mesh / sharding ----------------------------------------------
         self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
-        self.variables = replicate_tree(self.variables, self.mesh)
-        self.opt_state = replicate_tree(self.opt_state, self.mesh)
+        n_dev = int(self.mesh.devices.size)
+        if cfg.batch % n_dev:
+            raise ValueError(
+                f"--batch {cfg.batch} must be divisible by the mesh device "
+                f"count {n_dev} (mesh_shape={cfg.mesh_shape}): the batch is "
+                f"sharded across every chip on the mesh")
+        self.variables = place_tree(self.variables, self.mesh)
+        self.opt_state = place_tree(self.opt_state, self.mesh)
 
         # -- logging + callbacks (reference: train.py:174-203) ------------
         self.logdir = next_version_dir(log_root, cfg.name)

@@ -12,7 +12,8 @@ from sat_tpu.config import SATConfig
 from sat_tpu.models.model import SATModel
 from sat_tpu.models.sat import (flatten_caption_batch, repeat_annotations,
                                 sat_loss, train_forward)
-from sat_tpu.parallel.mesh import create_mesh, replicate_tree, shard_batch
+from sat_tpu.parallel.mesh import (create_mesh, place_tree, replicate_tree,
+                                   shard_batch, tree_shardings)
 from sat_tpu.train.optim import apply_group_lrs, build_optimizer
 
 
@@ -53,11 +54,11 @@ def make_setup():
         "lengths": rng.integers(2, T - 1, (8, 5)).astype(np.int32),
     }
     batch["captions"][:, :, 0] = v - 2
-    return cfg, variables, train_step, batch
+    return cfg, variables, train_step, batch, model
 
 
 def test_dp8_matches_single_device():
-    cfg, variables, train_step, batch = make_setup()
+    cfg, variables, train_step, batch, _ = make_setup()
 
     # single device
     mesh1 = create_mesh((1,), ("data",), jax.devices()[:1])
@@ -87,3 +88,75 @@ def test_batch_actually_sharded():
     x = np.zeros((16, 4), np.float32)
     xs = shard_batch({"x": x}, mesh8)["x"]
     assert len(xs.sharding.device_set) == 8
+
+
+def test_tp_vocab_sharding_matches_dp():
+    """Vocab-dim tensor parallelism (SURVEY §2.6 'optional mesh axis for the
+    vocab projection'): a (4, 2) data×model mesh must reproduce the pure-DP
+    gradients bit-for-close, with the embedding/out_proj actually sharded."""
+    cfg, variables, train_step, batch, _ = make_setup()
+
+    mesh_dp = create_mesh((8,), ("data",), jax.devices())
+    v_dp = replicate_tree(jax.device_get(variables), mesh_dp)
+    b_dp = shard_batch(batch, mesh_dp)
+    g_dp, l_dp = jax.jit(train_step)(v_dp, b_dp, jax.random.PRNGKey(7))
+
+    mesh_tp = create_mesh((4, 2), ("data", "model"), jax.devices())
+    v_tp = place_tree(jax.device_get(variables), mesh_tp)
+    # the vocab-sized tables really are split over the model axis
+    emb = v_tp["params"]["decoder"]["embedding"]
+    assert emb.sharding.spec == jax.sharding.PartitionSpec("model", None)
+    w = v_tp["params"]["decoder"]["out_proj"]["w"]
+    assert w.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    b_tp = shard_batch(batch, mesh_tp)
+    g_tp, l_tp = jax.jit(train_step)(v_tp, b_tp, jax.random.PRNGKey(7))
+
+    assert abs(float(l_dp) - float(l_tp)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(g_dp)),
+                    jax.tree_util.tree_leaves(jax.device_get(g_tp))):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = float(max(np.abs(a).max(), 1e-3))
+        np.testing.assert_allclose(a, b, atol=max(5e-4 * scale, 2e-7), rtol=0)
+
+
+def test_tp_beam_decode_matches_dp():
+    """Sharded-vocab beam search returns identical tokens/scores to DP."""
+    from sat_tpu.decode.beam import beam_search
+    cfg, variables, _, batch, model = make_setup()
+
+    def decode(variables, images_u8):
+        images = images_u8.astype(jnp.float32) / 255.0
+        annots = model.encode(variables, images, train=False)
+        r = beam_search(variables["params"]["decoder"], cfg, annots,
+                        beamk=3, max_gen_length=5, rescore_method="LN")
+        return r.tokens, r.scores
+
+    mesh_dp = create_mesh((8,), ("data",), jax.devices())
+    t_dp, s_dp = jax.jit(decode)(replicate_tree(jax.device_get(variables),
+                                                mesh_dp),
+                                 shard_batch(batch, mesh_dp)["images"])
+
+    mesh_tp = create_mesh((4, 2), ("data", "model"), jax.devices())
+    t_tp, s_tp = jax.jit(decode)(place_tree(jax.device_get(variables),
+                                            mesh_tp),
+                                 shard_batch(batch, mesh_tp)["images"])
+
+    np.testing.assert_array_equal(np.asarray(t_dp), np.asarray(t_tp))
+    np.testing.assert_allclose(np.asarray(s_dp), np.asarray(s_tp), atol=1e-5)
+
+
+def test_tp_shardings_cover_optimizer_state():
+    """tree_shardings' suffix rules shard the optax moments of the vocab
+    tables too (mu/nu mirror the param structure)."""
+    cfg, variables, _, _, _ = make_setup()
+    tx, _ = build_optimizer(cfg, variables["params"])
+    opt_state = tx.init(variables["params"])
+    mesh_tp = create_mesh((4, 2), ("data", "model"), jax.devices())
+    shardings = tree_shardings(opt_state, mesh_tp)
+    specs = {str(path): sh.spec for path, sh in
+             jax.tree_util.tree_flatten_with_path(shardings)[0]}
+    emb_specs = [s for p, s in specs.items()
+                 if "embedding" in p and "decoder" in p]
+    assert emb_specs, "no embedding-shaped leaves found in opt state"
+    assert all(s == jax.sharding.PartitionSpec("model", None)
+               for s in emb_specs)
