@@ -131,9 +131,21 @@ class CaptionLoader:
                  workers: int = 0, train: bool = True, drop_last: bool = True,
                  trim_captions: Optional[bool] = None,
                  cache_images: bool = False,
-                 native_decode: Optional[bool] = None):
+                 native_decode: Optional[bool] = None,
+                 process_index: int = 0, process_count: int = 1):
         self.ds = ds
         self.batch_size = batch_size
+        # Multi-host (DCN): batch_size stays GLOBAL; every process computes
+        # the identical epoch order (same seed) and materializes only its own
+        # contiguous rows of each batch — mesh.shard_batch assembles the
+        # global array via make_array_from_process_local_data.  Requires
+        # drop_last (a ragged tail would disagree across hosts).
+        self.process_index = process_index
+        self.process_count = process_count
+        if process_count > 1:
+            assert batch_size % process_count == 0, \
+                f"batch {batch_size} not divisible by {process_count} processes"
+            assert drop_last, "multi-host loading requires drop_last"
         self.input_size = input_size
         self.shuffle = shuffle
         self.bucket = bucket
@@ -213,15 +225,20 @@ class CaptionLoader:
                 random_offset=self.train, rng=self._rng)
         return imgs
 
-    def _make_batch(self, idxs: Sequence[int]) -> Dict[str, np.ndarray]:
+    def _trim_len(self, idxs: Sequence[int]) -> int:
+        """<START> + longest target run, rounded up to a 4-bucket.  Computed
+        from the GLOBAL batch indices so multi-host processes agree on T."""
+        t_needed = int(self.ds.lengths[list(idxs)].max()) + 1
+        return min(-(-t_needed // 4) * 4 + 1, self.ds.encoded_captions.shape[2])
+
+    def _make_batch(self, idxs: Sequence[int],
+                    trim_to: Optional[int] = None) -> Dict[str, np.ndarray]:
         imgs = self._load_images(idxs)
         captions = self.ds.encoded_captions[list(idxs)]
         lengths = self.ds.lengths[list(idxs)]
         if self.trim_captions:
-            # keep <START> + longest target run, rounded up to a 4-bucket
-            t_needed = int(lengths.max()) + 1
-            t_bucket = min(-(-t_needed // 4) * 4 + 1, captions.shape[2])
-            captions = captions[:, :, :t_bucket]
+            captions = captions[:, :, :(trim_to if trim_to is not None
+                                        else self._trim_len(idxs))]
         return {"images": imgs, "captions": captions, "lengths": lengths}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -231,16 +248,23 @@ class CaptionLoader:
                    for i in range(n_full)]
         if not self.drop_last and len(order) % self.batch_size:
             batches.append(order[n_full * self.batch_size:])
+        if self.process_count > 1:
+            # per-host rows of each global batch + the batch's global trim
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            batches = [(b[lo:lo + local], self._trim_len(b)) for b in batches]
+        else:
+            batches = [(b, None) for b in batches]
         self._epoch += 1
         if self.workers == 0:
-            for bidx in batches:
-                yield self._make_batch(bidx)
+            for bidx, trim in batches:
+                yield self._make_batch(bidx, trim)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
 
         def producer():
-            for bidx in batches:
-                q.put(self._make_batch(bidx))
+            for bidx, trim in batches:
+                q.put(self._make_batch(bidx, trim))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -25,11 +25,19 @@ def maybe_initialize_distributed() -> bool:
     (JAX_COORDINATOR_ADDRESS [+ JAX_NUM_PROCESSES/JAX_PROCESS_ID] or a TPU-pod
     metadata environment). Returns True when distributed init ran."""
     import os
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
-            os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        return True
-    return False
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+        os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return False
+    if os.environ.get("JAX_CPU_COLLECTIVES"):  # e.g. "gloo" for CPU testing
+        jax.config.update("jax_cpu_collectives_implementation",
+                          os.environ["JAX_CPU_COLLECTIVES"])
+    kw = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw = dict(num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                  process_id=int(os.environ["JAX_PROCESS_ID"]))
+    jax.distributed.initialize(addr, **kw)
+    return True
 
 
 def create_mesh(mesh_shape: Sequence[int] = (-1,),
@@ -62,15 +70,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x: Any, sh: NamedSharding) -> jax.Array:
+    """device_put that also works when the mesh spans multiple processes.
+
+    Multi-host (DCN) placement goes through make_array_from_process_local_data:
+    each process contributes the rows its own devices hold (or the full array
+    for replicated/param leaves — it slices as needed)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            sh, np.asarray(jax.device_get(x)))
+    return jax.device_put(x, sh)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Host numpy batch -> device arrays sharded on the data axis."""
+    """Host numpy batch -> device arrays sharded on the data axis.
+
+    Multi-host: each process passes only its OWN rows (global_batch /
+    process_count of them — CaptionLoader's process_index/process_count
+    arguments produce exactly that slice); the assembled jax.Array is global."""
     sh = data_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), batch)
 
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh), tree)
 
 
 # ---------------------------------------------------------------------------
@@ -123,4 +147,4 @@ def place_tree(tree: Any, mesh: Mesh) -> Any:
     """Put a params/opt-state pytree on the mesh under `tree_shardings`.
     Drop-in upgrade of `replicate_tree` that activates vocab-dim TP when the
     mesh carries a "model" axis."""
-    return jax.tree_util.tree_map(jax.device_put, tree, tree_shardings(tree, mesh))
+    return jax.tree_util.tree_map(_put, tree, tree_shardings(tree, mesh))

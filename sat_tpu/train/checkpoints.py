@@ -88,12 +88,15 @@ class TopKCheckpointManager:
     """ModelCheckpoint(mode=max, save_top_k, save_last) (reference:
     train.py:180-188)."""
 
-    def __init__(self, dirpath: str, monitor: str = "bleu4", save_top_k: int = 1):
+    def __init__(self, dirpath: str, monitor: str = "bleu4", save_top_k: int = 1,
+                 write: bool = True):
         self.dirpath = dirpath
         self.monitor = monitor
         self.save_top_k = save_top_k
+        self.write = write  # multi-host: only process 0 touches the filesystem
         self.best: List[Tuple[float, str]] = []  # (value, path)
-        os.makedirs(dirpath, exist_ok=True)
+        if write:
+            os.makedirs(dirpath, exist_ok=True)
 
     @property
     def best_value(self) -> Optional[float]:
@@ -101,7 +104,7 @@ class TopKCheckpointManager:
 
     def on_validation_end(self, cfg: SATConfig, tree: Dict[str, Any],
                           metrics: Dict[str, float], epoch: int, step: int) -> None:
-        if not metrics:
+        if not metrics or not self.write:
             return
         value = float(metrics.get(self.monitor, float("-inf")))
         name = f"epoch={epoch}-step={step}-{self.monitor}={value:.4f}.ckpt"
@@ -126,11 +129,13 @@ class TopKCheckpointManager:
 class RestartCheckpointManager:
     """Snapshot on LR increase after warmup (reference: util.py:167-183)."""
 
-    def __init__(self, dirpath: str, warmup_steps: int = 0):
+    def __init__(self, dirpath: str, warmup_steps: int = 0, write: bool = True):
         self.dirpath = dirpath
         self.warmup_steps = warmup_steps
         self.prev_lr = 0.0
-        os.makedirs(dirpath, exist_ok=True)
+        self.write = write
+        if write:
+            os.makedirs(dirpath, exist_ok=True)
 
     def on_train_batch_end(self, cfg: SATConfig, tree_fn, global_step: int,
                            current_lr: float) -> Optional[str]:
@@ -141,7 +146,11 @@ class RestartCheckpointManager:
             self.prev_lr = current_lr
         saved = None
         if current_lr > self.prev_lr:
-            saved = os.path.join(self.dirpath, f"restart-{global_step}.ckpt")
-            save_checkpoint(saved, cfg, tree_fn())
+            # all processes call tree_fn (it may gather sharded leaves —
+            # a collective); only the writer process hits the filesystem
+            tree = tree_fn()
+            if self.write:
+                saved = os.path.join(self.dirpath, f"restart-{global_step}.ckpt")
+                save_checkpoint(saved, cfg, tree)
         self.prev_lr = current_lr
         return saved

@@ -24,9 +24,12 @@ def next_version_dir(save_dir: str, name: str) -> str:
 
 
 class MetricsLogger:
-    def __init__(self, logdir: str):
+    def __init__(self, logdir: str, enabled: bool = True):
         self.logdir = logdir
         self._tb = None
+        self.enabled = enabled  # multi-host: only process 0 writes
+        if not enabled:
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
             self._tb = SummaryWriter(log_dir=logdir)
@@ -34,6 +37,8 @@ class MetricsLogger:
             self._jsonl = open(os.path.join(logdir, "metrics.jsonl"), "a")
 
     def scalar(self, tag: str, value: float, step: int) -> None:
+        if not self.enabled:
+            return
         if self._tb is not None:
             self._tb.add_scalar(tag, value, global_step=step)
         else:
@@ -57,6 +62,8 @@ class MetricsLogger:
             self.scalar(f"{k}/val_epoch", float(v), epoch + 1)
 
     def close(self) -> None:
+        if not self.enabled:
+            return
         if self._tb is not None:
             self._tb.flush()
             self._tb.close()

@@ -60,17 +60,26 @@ class Trainer:
             pretrained_embedding=js.get("pretrained_embedding"),
             max_cap_length=js["max_cap_length"])
 
+        # Multi-host: every process runs this same Trainer; loaders emit only
+        # this host's rows of each global batch (mesh.shard_batch assembles).
+        n_proc, proc_id = jax.process_count(), jax.process_index()
         self.train_loader = CaptionLoader(
             self.train_ds, cfg.batch, cfg.input_size,
             shuffle=not cfg.bucket_sampler, bucket=cfg.bucket_sampler,
             seed=cfg.seed, workers=cfg.workers, train=True,
-            cache_images=cfg.cache_images, native_decode=cfg.native_decode)
-        # keep the tail batch at val (each tail shape costs one extra compile)
+            cache_images=cfg.cache_images, native_decode=cfg.native_decode,
+            process_index=proc_id, process_count=n_proc)
+        # keep the tail batch at val (each tail shape costs one extra compile;
+        # multi-host drops it — ragged tails would disagree across hosts)
+        val_batch = min(cfg.batch, len(self.val_ds))
+        if n_proc > 1:
+            val_batch = max(val_batch - val_batch % n_proc, n_proc)
         self.val_loader = CaptionLoader(
-            self.val_ds, min(cfg.batch, len(self.val_ds)), cfg.input_size,
+            self.val_ds, val_batch, cfg.input_size,
             shuffle=False, bucket=cfg.bucket_sampler, seed=cfg.seed,
-            workers=cfg.workers, train=False, drop_last=False,
-            native_decode=cfg.native_decode)
+            workers=cfg.workers, train=False, drop_last=n_proc > 1,
+            native_decode=cfg.native_decode,
+            process_index=proc_id, process_count=n_proc)
         cfg = cfg.replace(train_loader_len=len(self.train_loader)).validate()
 
         # -- model + optimizer -------------------------------------------
@@ -122,12 +131,15 @@ class Trainer:
         self.opt_state = place_tree(self.opt_state, self.mesh)
 
         # -- logging + callbacks (reference: train.py:174-203) ------------
+        # multi-host: process 0 owns every filesystem write
+        self.is_main = jax.process_index() == 0
         self.logdir = next_version_dir(log_root, cfg.name)
-        self.logger = MetricsLogger(self.logdir)
+        self.logger = MetricsLogger(self.logdir, enabled=self.is_main)
         self.ckpt = TopKCheckpointManager(self.logdir, cfg.save_monitor,
-                                          cfg.save_top_k)
+                                          cfg.save_top_k, write=self.is_main)
         self.restart_ckpt = RestartCheckpointManager(self.logdir,
-                                                     cfg.lr_warmup_steps)
+                                                     cfg.lr_warmup_steps,
+                                                     write=self.is_main)
         self.should_stop = False  # early-stop counters initialized pre-resume
 
         self._jit_train_step = jax.jit(
@@ -197,7 +209,19 @@ class Trainer:
                                         if self.early_stop_best is not None
                                         else float("-inf")),
                                "count": self.early_stop_count}}
-        return jax.device_get(tree)
+
+        def to_host(x):
+            # multi-host + vocab-TP: sharded leaves aren't addressable from
+            # one process; allgather them (a collective — every process must
+            # call _checkpoint_tree together, which the deterministic
+            # trigger conditions guarantee)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                from jax.experimental import multihost_utils
+                return np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True))
+            return jax.device_get(x)
+
+        return jax.tree_util.tree_map(to_host, tree)
 
     def _log_train_metrics(self, pending, epsilon, timer, epoch_metrics):
         metrics, step, n_images = pending
@@ -237,7 +261,8 @@ class Trainer:
             # forces a GPU sync every batch)
             if pending is not None:
                 self._log_train_metrics(pending, epsilon, timer, epoch_metrics)
-            pending = (metrics, self.global_step, batch["images"].shape[0])
+            pending = (metrics, self.global_step,
+                       batch["images"].shape[0] * jax.process_count())
             self.scheduler.on_train_batch_end(self.global_step)
             self.restart_ckpt.on_train_batch_end(
                 cfg, self._checkpoint_tree, self.global_step, lrs["decoder"])
@@ -260,20 +285,38 @@ class Trainer:
         embedding = np.asarray(
             jax.device_get(self.variables["params"]["decoder"]["embedding"]))
         n_dev = self.mesh.devices.size
+        n_proc = jax.process_count()
         for i, batch in enumerate(self.val_loader):
             if i >= limit:
                 break
             n = batch["images"].shape[0]
-            if n % n_dev:  # pad tail batch to the mesh size, slice after decode
+            if n_proc == 1 and n % n_dev:
+                # pad tail batch to the mesh size, slice after decode
+                # (multi-host loaders drop the tail, so batches stay full)
                 pad = -n % n_dev
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for k, v in batch.items()}
             dbatch = shard_batch(batch, self.mesh)
             res = self._jit_val_decode(self.variables, dbatch["images"])
+            if n_proc > 1:
+                # every host scores the full global batch: allgather the
+                # decode results and the reference captions
+                from jax.experimental import multihost_utils
+                res = jax.tree_util.tree_map(
+                    lambda x: np.asarray(
+                        multihost_utils.process_allgather(x, tiled=True)), res)
+                refs_c = np.asarray(multihost_utils.process_allgather(
+                    batch["captions"], tiled=True))
+                refs_l = np.asarray(multihost_utils.process_allgather(
+                    batch["lengths"], tiled=True))
+                n = refs_c.shape[0]
+            else:
+                res = jax.device_get(res)
+                refs_c, refs_l = batch["captions"], batch["lengths"]
             caps, _, _, ppl = unpack_beam_result(
-                jax.device_get(res), self.model.grid_hw, return_all=False)
+                res, self.model.grid_hw, return_all=False)
             caps, ppl = caps[:n], ppl[:n]
-            m = score_captions(caps, batch["captions"][:n], batch["lengths"][:n],
+            m = score_captions(caps, refs_c[:n], refs_l[:n],
                                embedding=embedding, perplexities=ppl)
             batch_metrics.append(m)
         means = {k: float(np.mean([m[k] for m in batch_metrics]))
@@ -316,8 +359,10 @@ class Trainer:
                   f"bleu4={last_val.get('bleu4', 0):.4f} ({dt:.1f}s)")
             if self.should_stop:
                 break
-        # final save_last refresh
-        save_checkpoint(os.path.join(self.logdir, "last.ckpt"), self.cfg,
-                        self._checkpoint_tree())
+        # final save_last refresh (tree gathered on all processes; one writer)
+        tree = self._checkpoint_tree()
+        if self.is_main:
+            save_checkpoint(os.path.join(self.logdir, "last.ckpt"), self.cfg,
+                            tree)
         self.logger.close()
         return last_val
