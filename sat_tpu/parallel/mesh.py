@@ -138,9 +138,21 @@ def tree_shardings(tree: Any, mesh: Mesh) -> Any:
         sh = replicated(mesh)
         return jax.tree_util.tree_map(lambda _: sh, tree)
     msize = mesh.shape[MODEL_AXIS]
-    return jax.tree_util.tree_map_with_path(
+    out = jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(mesh, _vocab_spec(path, leaf, msize)),
         tree)
+    has_vocab_leaf = any(
+        "embedding" in [getattr(k, "key", None) for k in p] or
+        "out_proj" in [getattr(k, "key", None) for k in p]
+        for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0])
+    if has_vocab_leaf and all(s.spec == P() for s in
+                              jax.tree_util.tree_leaves(out)):
+        import warnings
+        warnings.warn(
+            f"model axis of size {msize} requested but every vocab-sized "
+            f"leaf fell back to replication (vocab_size must be divisible "
+            f"by {msize}) — training proceeds pure-DP", stacklevel=2)
+    return out
 
 
 def place_tree(tree: Any, mesh: Mesh) -> Any:
