@@ -170,7 +170,13 @@ class CaptionLoader:
             if self._native is None and native_decode is True:
                 raise RuntimeError("native_decode=True but the C++ jpeg "
                                    "pipeline failed to build/load")
-        self._rng = np.random.default_rng(seed)
+        # Two streams: _shuffle_rng drives ONLY the epoch permutation, so the
+        # order stays identical on every host no matter how many augmentation
+        # draws each host makes (e.g. a PIL-fallback crop for a corrupt image
+        # on one host must not desynchronize the next epoch's shuffle).
+        self._shuffle_rng = np.random.default_rng(seed)
+        self._rng = np.random.default_rng(
+            np.random.SeedSequence([seed, process_index]))
         self._sampler = (BucketSampler(ds.lengths, batch_size, seed=seed)
                          if bucket else None)
         self._epoch = 0
@@ -184,7 +190,7 @@ class CaptionLoader:
             return list(iter(self._sampler))
         order = list(range(len(self.ds)))
         if self.shuffle:
-            self._rng.shuffle(order)
+            self._shuffle_rng.shuffle(order)
         return order
 
     def _decode_full(self, path: str) -> np.ndarray:

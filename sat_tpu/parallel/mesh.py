@@ -32,10 +32,12 @@ def maybe_initialize_distributed() -> bool:
     if os.environ.get("JAX_CPU_COLLECTIVES"):  # e.g. "gloo" for CPU testing
         jax.config.update("jax_cpu_collectives_implementation",
                           os.environ["JAX_CPU_COLLECTIVES"])
-    kw = {}
-    if os.environ.get("JAX_NUM_PROCESSES"):
-        kw = dict(num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-                  process_id=int(os.environ["JAX_PROCESS_ID"]))
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if bool(n) != bool(pid):
+        raise ValueError("set BOTH JAX_NUM_PROCESSES and JAX_PROCESS_ID "
+                         "(or neither, to let jax auto-detect)")
+    kw = dict(num_processes=int(n), process_id=int(pid)) if n else {}
     jax.distributed.initialize(addr, **kw)
     return True
 
@@ -80,6 +82,17 @@ def _put(x: Any, sh: NamedSharding) -> jax.Array:
         return jax.make_array_from_process_local_data(
             sh, np.asarray(jax.device_get(x)))
     return jax.device_put(x, sh)
+
+
+def fetch_global(tree: Any) -> Any:
+    """device_get that also works for leaves spanning multiple processes
+    (allgathers them — a collective: every process must call together)."""
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+    return jax.tree_util.tree_map(to_host, tree)
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:

@@ -101,11 +101,14 @@ def main(argv=None):
     from . import native
     from .decode.api import unpack_beam_result
     from .decode.beam import beam_search
-    from .parallel.mesh import (create_mesh, maybe_initialize_distributed,
-                                place_tree, shard_batch)
+    from .parallel.mesh import create_mesh, place_tree, shard_batch
     from .train.checkpoints import load_model_from_checkpoint
 
-    maybe_initialize_distributed()
+    # Serving is embarrassingly parallel: scale across HOSTS by running one
+    # independent sat_tpu.serve per host over its own image shard (no
+    # jax.distributed — there is nothing to synchronize and a lock-step
+    # global batch would only couple the hosts' tail latencies). The mesh
+    # below spans this host's chips.
     model, variables, _ = load_model_from_checkpoint(a.checkpoint)
     vocab = model.vocab
     size = model.cfg.input_size

@@ -102,9 +102,16 @@ class TopKCheckpointManager:
     def best_value(self) -> Optional[float]:
         return max(v for v, _ in self.best) if self.best else None
 
-    def on_validation_end(self, cfg: SATConfig, tree: Dict[str, Any],
+    def on_validation_end(self, cfg: SATConfig, tree_fn,
                           metrics: Dict[str, float], epoch: int, step: int) -> None:
-        if not metrics or not self.write:
+        """tree_fn: lazy () -> checkpoint tree.  Skipped when metrics are
+        empty; otherwise EVERY process calls it (save_last refreshes each
+        validation, and the gather inside may be a collective) and only the
+        writer touches the filesystem."""
+        if not metrics:
+            return
+        tree = tree_fn() if callable(tree_fn) else tree_fn
+        if not self.write:
             return
         value = float(metrics.get(self.monitor, float("-inf")))
         name = f"epoch={epoch}-step={step}-{self.monitor}={value:.4f}.ckpt"

@@ -12,14 +12,22 @@ import os
 from typing import Dict, Optional
 
 
-def next_version_dir(save_dir: str, name: str) -> str:
+def next_version_dir(save_dir: str, name: str, create: bool = True) -> str:
+    """Auto-versioned logs/{name}/version_N (reference: train.py:174-177).
+
+    create=False computes the path without touching the filesystem —
+    multi-host non-writer processes must not mkdir on a shared FS (they'd
+    race process 0 and claim version numbers of their own)."""
     base = os.path.join(save_dir, name)
-    os.makedirs(base, exist_ok=True)
+    if create:
+        os.makedirs(base, exist_ok=True)
     versions = [int(d.split("_")[1]) for d in os.listdir(base)
-                if d.startswith("version_") and d.split("_")[1].isdigit()]
+                if d.startswith("version_") and d.split("_")[1].isdigit()] \
+        if os.path.isdir(base) else []
     v = max(versions) + 1 if versions else 0
     path = os.path.join(base, f"version_{v}")
-    os.makedirs(path, exist_ok=True)
+    if create:
+        os.makedirs(path, exist_ok=True)
     return path
 
 

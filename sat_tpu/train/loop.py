@@ -31,7 +31,8 @@ from ..evalx.metrics import score_captions
 from ..models.model import SATModel
 from ..models.sat import (flatten_caption_batch, repeat_annotations, sat_loss,
                           train_forward, train_forward_loss)
-from ..parallel.mesh import create_mesh, place_tree, shard_batch
+from ..parallel.mesh import (create_mesh, fetch_global, place_tree,
+                             shard_batch)
 from .checkpoints import (RestartCheckpointManager, TopKCheckpointManager,
                           save_checkpoint)
 from .logging import MetricsLogger, next_version_dir
@@ -60,6 +61,15 @@ class Trainer:
             pretrained_embedding=js.get("pretrained_embedding"),
             max_cap_length=js["max_cap_length"])
 
+        # -- mesh (built before the loaders: batch shapes depend on it) ---
+        self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        n_dev = int(self.mesh.devices.size)
+        if cfg.batch % n_dev:
+            raise ValueError(
+                f"--batch {cfg.batch} must be divisible by the mesh device "
+                f"count {n_dev} (mesh_shape={cfg.mesh_shape}): the batch is "
+                f"sharded across every chip on the mesh")
+
         # Multi-host: every process runs this same Trainer; loaders emit only
         # this host's rows of each global batch (mesh.shard_batch assembles).
         n_proc, proc_id = jax.process_count(), jax.process_index()
@@ -73,7 +83,9 @@ class Trainer:
         # multi-host drops it — ragged tails would disagree across hosts)
         val_batch = min(cfg.batch, len(self.val_ds))
         if n_proc > 1:
-            val_batch = max(val_batch - val_batch % n_proc, n_proc)
+            # multi-host drops ragged tails, so every val batch must already
+            # be divisible by the FULL mesh device count, not just n_proc
+            val_batch = max(val_batch - val_batch % n_dev, n_dev)
         self.val_loader = CaptionLoader(
             self.val_ds, val_batch, cfg.input_size,
             shuffle=False, bucket=cfg.bucket_sampler, seed=cfg.seed,
@@ -119,21 +131,26 @@ class Trainer:
                 self.early_stop_best = None if best == float("-inf") else best
                 self.early_stop_count = int(raw["early_stop"]["count"])
 
-        # -- mesh / sharding ----------------------------------------------
-        self.mesh = create_mesh(cfg.mesh_shape, cfg.mesh_axes)
-        n_dev = int(self.mesh.devices.size)
-        if cfg.batch % n_dev:
-            raise ValueError(
-                f"--batch {cfg.batch} must be divisible by the mesh device "
-                f"count {n_dev} (mesh_shape={cfg.mesh_shape}): the batch is "
-                f"sharded across every chip on the mesh")
+        # -- sharding ------------------------------------------------------
         self.variables = place_tree(self.variables, self.mesh)
         self.opt_state = place_tree(self.opt_state, self.mesh)
 
         # -- logging + callbacks (reference: train.py:174-203) ------------
-        # multi-host: process 0 owns every filesystem write
+        # multi-host: process 0 owns every filesystem write; its version-dir
+        # choice is broadcast so all ranks agree on self.logdir
         self.is_main = jax.process_index() == 0
-        self.logdir = next_version_dir(log_root, cfg.name)
+        self.logdir = next_version_dir(log_root, cfg.name,
+                                       create=self.is_main)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            buf = np.zeros(1024, np.uint8)
+            if self.is_main:
+                raw = self.logdir.encode()
+                assert len(raw) < 255  # buf[0] is a uint8 length prefix
+                buf[0] = len(raw)
+                buf[1:1 + len(raw)] = np.frombuffer(raw, np.uint8)
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            self.logdir = bytes(buf[1:1 + int(buf[0])]).decode()
         self.logger = MetricsLogger(self.logdir, enabled=self.is_main)
         self.ckpt = TopKCheckpointManager(self.logdir, cfg.save_monitor,
                                           cfg.save_top_k, write=self.is_main)
@@ -209,19 +226,11 @@ class Trainer:
                                         if self.early_stop_best is not None
                                         else float("-inf")),
                                "count": self.early_stop_count}}
-
-        def to_host(x):
-            # multi-host + vocab-TP: sharded leaves aren't addressable from
-            # one process; allgather them (a collective — every process must
-            # call _checkpoint_tree together, which the deterministic
-            # trigger conditions guarantee)
-            if isinstance(x, jax.Array) and not x.is_fully_addressable:
-                from jax.experimental import multihost_utils
-                return np.asarray(
-                    multihost_utils.process_allgather(x, tiled=True))
-            return jax.device_get(x)
-
-        return jax.tree_util.tree_map(to_host, tree)
+        # fetch_global: multi-host + vocab-TP leaves aren't addressable from
+        # one process; the allgather inside is a collective — every process
+        # must call _checkpoint_tree together, which the deterministic
+        # trigger conditions guarantee
+        return fetch_global(tree)
 
     def _log_train_metrics(self, pending, epsilon, timer, epoch_metrics):
         metrics, step, n_images = pending
@@ -282,8 +291,9 @@ class Trainer:
         n_batches = len(self.val_loader)
         limit = max(1, int(round(cfg.val_percent * n_batches)))
         batch_metrics: List[Dict[str, float]] = []
-        embedding = np.asarray(
-            jax.device_get(self.variables["params"]["decoder"]["embedding"]))
+        # fetch_global: under multi-host vocab-TP the embedding spans hosts
+        embedding = np.asarray(fetch_global(
+            self.variables["params"]["decoder"]["embedding"]))
         n_dev = self.mesh.devices.size
         n_proc = jax.process_count()
         for i, batch in enumerate(self.val_loader):
@@ -300,15 +310,23 @@ class Trainer:
             res = self._jit_val_decode(self.variables, dbatch["images"])
             if n_proc > 1:
                 # every host scores the full global batch: allgather the
-                # decode results and the reference captions
+                # decode results and the reference captions — except the
+                # (B,k,T,L) alphas, which scoring never reads (zeros stand in)
                 from jax.experimental import multihost_utils
-                res = jax.tree_util.tree_map(
-                    lambda x: np.asarray(
-                        multihost_utils.process_allgather(x, tiled=True)), res)
-                refs_c = np.asarray(multihost_utils.process_allgather(
-                    batch["captions"], tiled=True))
-                refs_l = np.asarray(multihost_utils.process_allgather(
-                    batch["lengths"], tiled=True))
+
+                def gather(x):
+                    return np.asarray(
+                        multihost_utils.process_allgather(x, tiled=True))
+                lens = gather(res.lengths)
+                res = type(res)(
+                    tokens=gather(res.tokens), lengths=lens,
+                    raw_scores=gather(res.raw_scores),
+                    scores=gather(res.scores),
+                    perplexity=gather(res.perplexity),
+                    alphas=np.zeros(lens.shape + res.alphas.shape[2:],
+                                    np.float32))
+                refs_c = gather(batch["captions"])
+                refs_l = gather(batch["lengths"])
                 n = refs_c.shape[0]
             else:
                 res = jax.device_get(res)
@@ -327,7 +345,7 @@ class Trainer:
             self.scheduler.on_validation_end(means[cfg.plateau_monitor],
                                              self.global_step)
         # checkpoint top-k + last (train.py:180-188)
-        self.ckpt.on_validation_end(cfg, self._checkpoint_tree(), means,
+        self.ckpt.on_validation_end(cfg, self._checkpoint_tree, means,
                                     self.current_epoch, self.global_step)
         # early stopping (train.py:195-203, mode max)
         if cfg.early_stop_monitor is not None:
