@@ -78,8 +78,18 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
                 rescore_method: Optional[str] = None,
                 rescore_reward: float = 0.5,
                 rng: Optional[jax.Array] = None,
-                fused: bool = False) -> BeamResult:
-    """Batched beam/sampled search. annotations: (B, L, D)."""
+                fused: bool = False,
+                early_exit: bool = False) -> BeamResult:
+    """Batched beam/sampled search. annotations: (B, L, D).
+
+    early_exit=True runs the time loop as a ``lax.while_loop`` that stops as
+    soon as every beam of every image has emitted <END> — tokens, scores,
+    lengths, perplexities and every CONSUMED alpha row (rows < length) are
+    EXACT vs the scan (finished slots only self-copy through their PAD
+    stay-candidate, and ties keep slot order), but data-dependent: captions
+    that finish at t<<max_gen_length skip the tail steps entirely. Wins at
+    serving batch sizes where the per-batch max length is short; the fixed
+    scan pays max_gen_length always."""
     assert sample_method in ("beam", "multinomial", "topk")
     if not isinstance(temperature, (list, tuple)):
         temperature = [temperature]
@@ -232,10 +242,23 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         return (new_tokens, new_scores, new_finished, new_flen, new_bar,
                 new_h, new_c, new_alphas), None
 
-    ts = jnp.arange(S + 1)
-    (tokens, scores, finished, flen, bar, _, _, alphas), _ = jax.lax.scan(
-        step_fn, (tokens0, scores0, finished0, flen0, bar0, h0, c0, alphas0),
-        (ts, step_rngs))
+    carry0 = (tokens0, scores0, finished0, flen0, bar0, h0, c0, alphas0)
+    if early_exit:
+        def cond(state):
+            t, carry = state[0], state[1:]
+            return jnp.logical_and(t <= S, ~jnp.all(carry[2]))
+
+        def body(state):
+            t, carry = state[0], state[1:]
+            new_carry, _ = step_fn(carry, (t, step_rngs[t]))
+            return (t + 1,) + new_carry
+
+        state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + carry0)
+        tokens, scores, finished, flen, bar, _, _, alphas = state[1:]
+    else:
+        ts = jnp.arange(S + 1)
+        (tokens, scores, finished, flen, bar, _, _, alphas), _ = jax.lax.scan(
+            step_fn, carry0, (ts, step_rngs))
 
     # max_gen_length flush (model.py:441-446): incomplete beams keep score,
     # length = S, BAR term = final live mean

@@ -79,6 +79,10 @@ def main(argv=None):
     p.add_argument("--decoder_noise", default=None, type=float)
     p.add_argument("--rescore_method", default="LN")
     p.add_argument("--rescore_reward", default=0.5, type=float)
+    p.add_argument("--early_exit", action="store_true",
+                   help="stop decoding as soon as every caption in the batch "
+                        "has ended (exact; wins when captions are much "
+                        "shorter than --max_gen_length)")
     p.add_argument("--return_all", action="store_true",
                    help="emit all beamk candidates per image")
     p.add_argument("--mesh_shape", nargs="+", default=[-1], type=int)
@@ -130,7 +134,8 @@ def main(argv=None):
             max_gen_length=a.max_gen_length, temperature=temperature,
             sample_method=a.sample_method, sample_topk=a.sample_topk,
             decoder_noise=a.decoder_noise, rescore_method=rescore,
-            rescore_reward=a.rescore_reward, rng=rng)
+            rescore_reward=a.rescore_reward, rng=rng,
+            early_exit=a.early_exit)
 
     # Data-parallel serving: shard the batch over every attached device
     # (ICI collectives via jax.sharding; the reference can only serve on one

@@ -251,3 +251,44 @@ def test_beam_oracle_fuzz_shapes(seed, b, L, k, S, v, dec):
             (seed, i)
         np.testing.assert_allclose(sorted(scores[i], reverse=True),
                                    sorted(o_scores, reverse=True), atol=3e-4)
+
+
+def test_early_exit_matches_scan():
+    """early_exit=True (while_loop) must reproduce the scan exactly in every
+    consumed output: tokens, lengths, scores, perplexity, and alpha rows
+    < length — both when captions end early and when none ever end."""
+    cfg = make_cfg()
+    params = D.init_decoder_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(11)
+    b, L, k, S = 3, 6, 4, 14
+    annots = jnp.array(rng.normal(size=(b, L, cfg.encoder_dim))
+                       .astype(np.float32))
+    end_i = cfg.vocab_stoi["<END>"]
+
+    # bias the output projection hard toward <END>: captions finish at t=1
+    # (step 0 masks <END>), so the while_loop exits ~12 steps early
+    early_params = jax.tree_util.tree_map(lambda x: x, params)
+    early_params["out_proj"] = dict(params["out_proj"])
+    early_params["out_proj"]["b"] = (
+        params["out_proj"]["b"].at[end_i].set(50.0))
+
+    for p in (early_params, params):  # early finish / never finishes
+        r_scan = beam_search(p, cfg, annots, beamk=k, max_gen_length=S,
+                             rescore_method="LN")
+        r_fast = beam_search(p, cfg, annots, beamk=k, max_gen_length=S,
+                             rescore_method="LN", early_exit=True)
+        np.testing.assert_array_equal(np.asarray(r_scan.tokens),
+                                      np.asarray(r_fast.tokens))
+        np.testing.assert_array_equal(np.asarray(r_scan.lengths),
+                                      np.asarray(r_fast.lengths))
+        for f in ("raw_scores", "scores", "perplexity"):
+            np.testing.assert_allclose(np.asarray(getattr(r_scan, f)),
+                                       np.asarray(getattr(r_fast, f)),
+                                       atol=1e-6)
+        lens = np.asarray(r_scan.lengths)
+        a_scan, a_fast = np.asarray(r_scan.alphas), np.asarray(r_fast.alphas)
+        for i in range(b):
+            for j in range(k):
+                n = int(lens[i, j])
+                np.testing.assert_allclose(a_scan[i, j, :n], a_fast[i, j, :n],
+                                           atol=1e-6)
