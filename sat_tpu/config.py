@@ -100,6 +100,9 @@ class SATConfig:
     val_percent: float = 1.0
     val_beamk: int = 3
     val_max_len: int = 32
+    # early-exit validation decode: stop when every caption ends (exact —
+    # tests/test_beam_search.py::test_early_exit_matches_scan)
+    val_early_exit: bool = True
 
     # -- Callbacks (reference: train.py:131-138)
     save_top_k: int = 1
@@ -255,6 +258,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--val_percent", default=d.val_percent, type=float)
     p.add_argument("--val_beamk", default=d.val_beamk, type=int)
     p.add_argument("--val_max_len", default=d.val_max_len, type=int)
+    p.add_argument("--no_val_early_exit", dest="val_early_exit",
+                   action="store_false", default=d.val_early_exit)
     p.add_argument("--save_top_k", default=d.save_top_k, type=int)
     p.add_argument("--save_monitor", default=d.save_monitor, type=str, choices=list(METRIC_CHOICES))
     p.add_argument("--early_stop_monitor", default=None, type=str, choices=list(METRIC_CHOICES))

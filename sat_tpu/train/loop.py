@@ -212,7 +212,8 @@ class Trainer:
         return beam_search(variables["params"]["decoder"], self.cfg, annots,
                            beamk=self.cfg.val_beamk,
                            max_gen_length=self.cfg.val_max_len,
-                           temperature=1.0, rescore_method="LN")
+                           temperature=1.0, rescore_method="LN",
+                           early_exit=self.cfg.val_early_exit)
 
     # ------------------------------------------------------------------
 
