@@ -39,7 +39,8 @@ def load_any_checkpoint(path: str):
 def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
              max_gen_length: int = 32, temperature: float = 1.0,
              rescore_method: Optional[str] = "LN", rescore_reward: float = 0.5,
-             limit_batches: Optional[int] = None, verbose: bool = True):
+             limit_batches: Optional[int] = None, verbose: bool = True,
+             early_exit: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +60,8 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
                            beamk=beamk, max_gen_length=max_gen_length,
                            temperature=temperature,
                            rescore_method=rescore_method,
-                           rescore_reward=rescore_reward)
+                           rescore_reward=rescore_reward,
+                           early_exit=early_exit)
 
     import numpy as np
 
@@ -120,6 +122,9 @@ def main(argv=None):
     p.add_argument("--rescore_method", default="LN")
     p.add_argument("--rescore_reward", default=0.5, type=float)
     p.add_argument("--limit_batches", default=None, type=int)
+    p.add_argument("--early_exit", action="store_true",
+                   help="stop each batch's decode when all captions end "
+                        "(exact; faster on trained models)")
     a = p.parse_args(argv)
 
     model, variables = load_any_checkpoint(a.checkpoint)
@@ -129,7 +134,8 @@ def main(argv=None):
                        beamk=a.beamk, max_gen_length=a.max_gen_length,
                        temperature=a.temperature, rescore_method=rescore,
                        rescore_reward=a.rescore_reward,
-                       limit_batches=a.limit_batches)
+                       limit_batches=a.limit_batches,
+                       early_exit=a.early_exit)
     print(json.dumps({"split": a.split, "beamk": a.beamk, **
                       {k: round(v, 5) for k, v in metrics.items()}}))
     return metrics
