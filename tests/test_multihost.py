@@ -103,3 +103,21 @@ def test_two_process_dcn_matches_single_process(tmp_path):
                      for g in jax.tree_util.tree_leaves(grads)))
     assert abs(results[0]["loss"] - float(loss)) < 1e-5, logs[0]
     assert abs(results[0]["gsum"] - gsum) < 5e-4 * (1 + gsum)
+
+
+def test_shuffle_immune_to_extra_aug_draws(ds):
+    """The epoch permutation must come from a dedicated rng stream: extra
+    augmentation draws on one host (e.g. a PIL-fallback crop for one corrupt
+    image) must not change the NEXT epoch's order (review finding: hosts
+    desynchronized after unequal draw counts)."""
+    kw = dict(batch_size=8, input_size=32, shuffle=True, seed=5, workers=0,
+              train=True, drop_last=True, native_decode=None)
+    a = CaptionLoader(ds, **kw)
+    b = CaptionLoader(ds, **kw)
+    _collect(a)
+    a._rng.random(13)  # simulate 13 extra augmentation draws on loader a
+    _collect(b)
+    ba2, bb2 = _collect(a), _collect(b)
+    for x, y in zip(ba2, bb2):
+        np.testing.assert_array_equal(x["captions"], y["captions"])
+        np.testing.assert_array_equal(x["lengths"], y["lengths"])
