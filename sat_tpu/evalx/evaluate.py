@@ -48,9 +48,17 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
     from ..decode.api import unpack_beam_result
     from ..decode.beam import beam_search
     from ..evalx.metrics import score_captions
+    from ..parallel.mesh import create_mesh, data_sharding, replicate_tree
 
     loader = CaptionLoader(ds, min(batch_size, len(ds)), model.cfg.input_size,
                            shuffle=False, train=False, drop_last=False)
+
+    # Shard scoring across every attached chip (like serve.py); on one
+    # device this is a no-op.
+    mesh = create_mesh((-1,), ("data",))
+    n_dev = int(mesh.devices.size)
+    variables = replicate_tree(variables, mesh)
+    batch_sh = data_sharding(mesh)
 
     @jax.jit
     def decode(variables, images_u8):
@@ -73,7 +81,7 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
     all_caps, all_enc, all_lens, all_ppl = [], [], [], []
     n_images = 0
     t0 = time.time()
-    bs = loader.batch_size
+    bs = -(-loader.batch_size // n_dev) * n_dev  # compiled shape, mesh-divisible
     t_max = loader.ds.encoded_captions.shape[2]
     for i, batch in enumerate(loader):
         if limit_batches is not None and i >= limit_batches:
@@ -82,7 +90,7 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
         imgs = batch["images"]
         if n < bs:  # pad the tail to the compiled shape
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], bs - n, 0)])
-        res = decode(variables, jnp.asarray(imgs))
+        res = decode(variables, jax.device_put(jnp.asarray(imgs), batch_sh))
         caps, _, _, ppl = unpack_beam_result(jax.device_get(res),
                                              model.grid_hw, return_all=False)
         all_caps.extend(caps[:n])
