@@ -31,7 +31,8 @@ def load_square(path: str, size: Optional[int] = None) -> Image.Image:
     return img
 
 
-def make_visual(model, variables, valid_ds: CaptionDataset, idx: int,
+def make_visual(model, variables, valid_ds: Optional[CaptionDataset] = None,
+                idx: int = 0, image_path: Optional[str] = None,
                 beamk: int = 3, max_gen_length: int = 32,
                 temperature: Union[float, Sequence[float]] = 1.0,
                 sample_method: str = "beam", sample_topk: int = 3,
@@ -50,17 +51,25 @@ def make_visual(model, variables, valid_ds: CaptionDataset, idx: int,
     input_size = input_size or model.cfg.input_size
     vocab = model.vocab
 
-    img_path = valid_ds.img_paths[idx]
+    if image_path is not None:
+        # arbitrary image: no ground-truth references / single-image BLEU
+        img_path, references = image_path, None
+    else:
+        assert valid_ds is not None, "need a dataset split or --image"
+        img_path = valid_ds.img_paths[idx]
+        references = [list(map(int, c[1:l])) for c, l in
+                      zip(valid_ds.encoded_captions[idx],
+                          valid_ds.lengths[idx])]
     img_name = os.path.splitext(os.path.basename(img_path))[0]
-    references = [list(map(int, c[1:l])) for c, l in
-                  zip(valid_ds.encoded_captions[idx], valid_ds.lengths[idx])]
-    gt_captions = [" ".join(vocab.itos(t) for t in r) for r in references]
 
     title = f"{img_name}\n"
-    for i, cap in enumerate(gt_captions):
-        s = f"Caption {i} : {cap}"
-        title += s + "\n"
-        print(s)
+    if references is not None:
+        gt_captions = [" ".join(vocab.itos(t) for t in r)
+                       for r in references]
+        for i, cap in enumerate(gt_captions):
+            s = f"Caption {i} : {cap}"
+            title += s + "\n"
+            print(s)
 
     img_pil = load_square(img_path, size=visual_size)
     img_in = np.asarray(img_pil.resize((input_size, input_size)),
@@ -87,11 +96,12 @@ def make_visual(model, variables, valid_ds: CaptionDataset, idx: int,
         title += s + "\n"
         print(s)
 
-    b1 = corpus_bleu([references], captions[0][:1], (1, 0, 0, 0))
-    b4 = corpus_bleu([references], captions[0][:1], (0.25,) * 4)
-    s = f"bleu1 = {b1:.4f}. bleu4 = {b4:.4f}"
-    title += s
-    print(s)
+    if references is not None:
+        b1 = corpus_bleu([references], captions[0][:1], (1, 0, 0, 0))
+        b4 = corpus_bleu([references], captions[0][:1], (0.25,) * 4)
+        s = f"bleu1 = {b1:.4f}. bleu4 = {b4:.4f}"
+        title += s
+        print(s)
 
     words = vocab.decode(captions[0][0])
     atts = np.asarray(alphas[0][0])          # (len, h, w)
@@ -149,6 +159,9 @@ def main(argv=None):
     p.add_argument("--json", default=None, help="dataset json (default: from ckpt)")
     p.add_argument("--split", default="val")
     p.add_argument("--idx", default=None, type=int)
+    p.add_argument("--image", default=None,
+                   help="caption an arbitrary image file instead of a "
+                        "dataset index (no ground-truth panel)")
     p.add_argument("--beamk", default=3, type=int)
     p.add_argument("--max_gen_length", default=32, type=int)
     p.add_argument("--temperature", nargs="+", default=[1.0], type=float)
@@ -162,9 +175,13 @@ def main(argv=None):
     a = p.parse_args(argv)
 
     model, variables, _ = load_model_from_checkpoint(a.checkpoint)
-    ds = CaptionDataset(a.json or model.cfg.json, a.split)
-    idx = a.idx if a.idx is not None else int(np.random.randint(len(ds)))
-    path = make_visual(model, variables, ds, idx, beamk=a.beamk,
+    if a.image is not None:
+        ds, idx = None, 0
+    else:
+        ds = CaptionDataset(a.json or model.cfg.json, a.split)
+        idx = a.idx if a.idx is not None else int(np.random.randint(len(ds)))
+    path = make_visual(model, variables, ds, idx, image_path=a.image,
+                       beamk=a.beamk,
                        max_gen_length=a.max_gen_length,
                        temperature=(a.temperature[0] if len(a.temperature) == 1
                                     else list(a.temperature)),

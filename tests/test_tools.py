@@ -48,6 +48,18 @@ def test_visualizer(setup, tmp_path):
     assert os.path.getsize(out) > 1000
 
 
+def test_visualizer_arbitrary_image(setup, tmp_path):
+    """--image path: caption any file, overlays rendered, no GT panel."""
+    json_path, ckpt = setup
+    model, variables, _ = load_model_from_checkpoint(ckpt)
+    ds = CaptionDataset(json_path, "val")
+    from sat_tpu.evalx.visualize import make_visual
+    out = make_visual(model, variables, image_path=ds.img_paths[1],
+                      beamk=2, max_gen_length=6,
+                      out_dir=str(tmp_path / "viz2"))
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
 def test_decode_search_csv(setup, tmp_path):
     json_path, ckpt = setup
     model, variables, _ = load_model_from_checkpoint(ckpt)
