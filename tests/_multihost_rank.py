@@ -43,9 +43,32 @@ def main():
 
     gsum = float(sum(np.abs(np.asarray(jax.device_get(g))).sum()
                      for g in jax.tree_util.tree_leaves(grads)))
+
+    # ---- vocab-TP across hosts: (4, 2) data x model over the 2 processes.
+    # The embedding/out_proj shards span BOTH processes; the same train step
+    # must agree with DP, and fetch_global must reassemble a cross-host
+    # sharded table bit-exactly (this is the checkpoint-gather path).
+    from sat_tpu.parallel.mesh import fetch_global, place_tree
+    host_vars = jax.device_get(variables)  # replicated -> local copy
+    mesh_tp = create_mesh((4, 2), ("data", "model"), jax.devices())
+    vars_tp = place_tree(host_vars, mesh_tp)
+    emb_tp = vars_tp["params"]["decoder"]["embedding"]
+    assert not emb_tp.is_fully_addressable, "expected a cross-host shard"
+    dbatch_tp = shard_batch(local, mesh_tp)
+    grads_tp, loss_tp = jax.jit(train_step)(vars_tp, dbatch_tp,
+                                            jax.random.PRNGKey(7))
+    gsum_tp = float(sum(np.abs(np.asarray(fetch_global(g))).sum()
+                        for g in jax.tree_util.tree_leaves(grads_tp)))
+    emb_back = np.asarray(fetch_global(emb_tp))
+    assert np.array_equal(
+        emb_back, np.asarray(host_vars["params"]["decoder"]["embedding"])), \
+        "fetch_global did not reassemble the sharded embedding bit-exactly"
+
     with open(out_path, "w") as f:
         json.dump({"rank": rank, "loss": float(jax.device_get(loss)),
-                   "gsum": gsum}, f)
+                   "gsum": gsum,
+                   "loss_tp": float(jax.device_get(loss_tp)),
+                   "gsum_tp": gsum_tp}, f)
     print(f"rank{rank} done loss={float(jax.device_get(loss)):.6f}", flush=True)
 
 

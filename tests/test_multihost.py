@@ -89,6 +89,11 @@ def test_two_process_dcn_matches_single_process(tmp_path):
     assert abs(results[0]["loss"] - results[1]["loss"]) < 1e-6
     assert abs(results[0]["gsum"] - results[1]["gsum"]) < 1e-4 * (
         1 + results[0]["gsum"])
+    # the cross-host vocab-TP phase agrees with DP (and its in-script
+    # fetch_global reassembly assert passed, or the rank would have died)
+    for r in results:
+        assert abs(r["loss_tp"] - r["loss"]) < 1e-5
+        assert abs(r["gsum_tp"] - r["gsum"]) < 5e-4 * (1 + r["gsum"])
 
     # reference: the same step single-process on this pytest's 8 CPU devices
     sys.path.insert(0, HERE)
@@ -103,6 +108,49 @@ def test_two_process_dcn_matches_single_process(tmp_path):
                      for g in jax.tree_util.tree_leaves(grads)))
     assert abs(results[0]["loss"] - float(loss)) < 1e-5, logs[0]
     assert abs(results[0]["gsum"] - gsum) < 5e-4 * (1 + gsum)
+
+
+def test_two_process_trainer_fit(tmp_path):
+    """The REAL Trainer.fit() across 2 jax processes: process-sharded
+    loaders, allgathered beam validation + scoring, logdir broadcast, and
+    exactly ONE writer process producing checkpoints."""
+    path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=16, n_val=8,
+                                  n_test=4, image_size=32)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    script = os.path.join(HERE, "_multihost_trainer_rank.py")
+    log_root = str(tmp_path / "logs")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    outs = [str(tmp_path / f"trank{r}.json") for r in (0, 1)]
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(r), str(port), outs[r], path, log_root],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in (0, 1)]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        logs.append(out.decode(errors="replace"))
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    results = [json.load(open(o)) for o in outs]
+    r0 = next(r for r in results if r["rank"] == 0)
+    r1 = next(r for r in results if r["rank"] == 1)
+    # both ranks agreed on the broadcast logdir and computed the same metrics
+    assert r0["logdir"] == r1["logdir"], (r0, r1)
+    assert r0["is_main"] and not r1["is_main"]
+    for k, v in r0["metrics"].items():
+        assert abs(v - r1["metrics"][k]) < 1e-6, (k, r0, r1)
+    assert np.isfinite(r0["metrics"]["bleu4"])
+    # exactly one version dir; checkpoints written by the single writer
+    vdirs = [d for d in os.listdir(os.path.join(log_root, "default"))
+             if d.startswith("version_")]
+    assert vdirs == ["version_0"], vdirs
+    files = os.listdir(r0["logdir"])
+    assert "last.ckpt" in files, files
+    assert any(f.startswith("epoch=") for f in files), files
 
 
 def test_shuffle_immune_to_extra_aug_draws(ds):
