@@ -48,7 +48,7 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
     from ..decode.api import unpack_beam_result
     from ..decode.beam import beam_search
     from ..evalx.metrics import score_captions
-    from ..parallel.mesh import create_mesh, data_sharding, replicate_tree
+    from ..parallel.mesh import create_mesh, replicate_tree, shard_batch
 
     loader = CaptionLoader(ds, min(batch_size, len(ds)), model.cfg.input_size,
                            shuffle=False, train=False, drop_last=False)
@@ -58,7 +58,6 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
     mesh = create_mesh((-1,), ("data",))
     n_dev = int(mesh.devices.size)
     variables = replicate_tree(variables, mesh)
-    batch_sh = data_sharding(mesh)
 
     @jax.jit
     def decode(variables, images_u8):
@@ -90,7 +89,7 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
         imgs = batch["images"]
         if n < bs:  # pad the tail to the compiled shape
             imgs = np.concatenate([imgs, np.repeat(imgs[-1:], bs - n, 0)])
-        res = decode(variables, jax.device_put(jnp.asarray(imgs), batch_sh))
+        res = decode(variables, shard_batch({"images": imgs}, mesh)["images"])
         caps, _, _, ppl = unpack_beam_result(jax.device_get(res),
                                              model.grid_hw, return_all=False)
         all_caps.extend(caps[:n])

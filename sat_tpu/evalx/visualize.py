@@ -176,6 +176,9 @@ def main(argv=None):
 
     model, variables, _ = load_model_from_checkpoint(a.checkpoint)
     if a.image is not None:
+        if a.idx is not None or a.json is not None:
+            p.error("--image conflicts with --idx/--json (it captions an "
+                    "arbitrary file, not a dataset sample)")
         ds, idx = None, 0
     else:
         ds = CaptionDataset(a.json or model.cfg.json, a.split)

@@ -125,14 +125,19 @@ def test_two_process_trainer_fit(tmp_path):
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_PLATFORMS", None)
     outs = [str(tmp_path / f"trank{r}.json") for r in (0, 1)]
+    # log to FILES, not pipes: reading two collective-coupled ranks'
+    # pipes sequentially can deadlock once one fills its OS buffer
+    logfiles = [str(tmp_path / f"trank{r}.log") for r in (0, 1)]
+    handles = [open(lf, "wb") for lf in logfiles]
     procs = [subprocess.Popen(
         [sys.executable, script, str(r), str(port), outs[r], path, log_root],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        env=env, stdout=handles[r], stderr=subprocess.STDOUT)
         for r in (0, 1)]
-    logs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
-        logs.append(out.decode(errors="replace"))
+        p.wait(timeout=900)
+    for h in handles:
+        h.close()
+    logs = [open(lf, errors="replace").read() for lf in logfiles]
     assert all(p.returncode == 0 for p in procs), "\n".join(logs)
 
     results = [json.load(open(o)) for o in outs]
