@@ -20,20 +20,7 @@ import time
 from typing import Optional
 
 
-def load_any_checkpoint(path: str):
-    """(model, variables) from a SAT-TPU or reference-Lightning .ckpt."""
-    from ..train.checkpoints import load_model_from_checkpoint
-    # SAT-TPU checkpoints start with a JSON config header line; Lightning
-    # checkpoints are zip (torch.save) archives: sniff the magic
-    with open(path, "rb") as f:
-        magic = f.read(2)
-    if magic == b"PK":  # zip -> torch.save -> reference Lightning checkpoint
-        from ..models.lightning_import import load_reference_checkpoint
-        from ..models.model import SATModel
-        cfg, variables, grid = load_reference_checkpoint(path)
-        return SATModel(cfg, grid), variables
-    model, variables, _ = load_model_from_checkpoint(path)
-    return model, variables
+from ..train.checkpoints import load_any_checkpoint  # noqa: E402 (canonical home)
 
 
 def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,

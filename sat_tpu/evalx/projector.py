@@ -28,12 +28,12 @@ def export_embeddings(model, variables, logdir: str = "logs/embeddings") -> str:
 
 
 def main(argv=None):
-    from ..train.checkpoints import load_model_from_checkpoint
+    from ..train.checkpoints import load_any_checkpoint
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--logdir", default="logs/embeddings")
     a = p.parse_args(argv)
-    model, variables, _ = load_model_from_checkpoint(a.checkpoint)
+    model, variables = load_any_checkpoint(a.checkpoint)
     print("exported to", export_embeddings(model, variables, a.logdir))
 
 

@@ -142,7 +142,7 @@ def plot_search_results(csv_path: str, out_dir: str = ".") -> List[str]:
 
 def main(argv=None):
     from ..data.dataset import CaptionDataset
-    from ..train.checkpoints import load_model_from_checkpoint
+    from ..train.checkpoints import load_any_checkpoint
 
     p = argparse.ArgumentParser(description="decode-param random search")
     p.add_argument("--checkpoint", required=True)
@@ -156,7 +156,7 @@ def main(argv=None):
     p.add_argument("--plot", action="store_true",
                    help="save scatter matrix + correlation heatmap pngs")
     a = p.parse_args(argv)
-    model, variables, _ = load_model_from_checkpoint(a.checkpoint)
+    model, variables = load_any_checkpoint(a.checkpoint)
     ds = CaptionDataset(a.json or model.cfg.json, a.split)
     run_search(model, variables, ds, n_trials=a.trials,
                batches_per_trial=a.batches, batch_size=a.batch_size,

@@ -76,7 +76,7 @@ def fit_temperature(logits: np.ndarray, targets: np.ndarray,
 
 def main(argv=None):
     from ..data.dataset import CaptionDataset
-    from ..train.checkpoints import load_model_from_checkpoint
+    from ..train.checkpoints import load_any_checkpoint
 
     p = argparse.ArgumentParser(description="temperature scaling calibration")
     p.add_argument("--checkpoint", required=True)
@@ -86,7 +86,7 @@ def main(argv=None):
     p.add_argument("--max_batches", default=41, type=int)
     p.add_argument("--steps", default=70, type=int)
     a = p.parse_args(argv)
-    model, variables, _ = load_model_from_checkpoint(a.checkpoint)
+    model, variables = load_any_checkpoint(a.checkpoint)
     ds = CaptionDataset(a.json or model.cfg.json, a.split)
     logits, targets = collect_logits(model, variables, ds, a.batch_size,
                                      a.max_batches)

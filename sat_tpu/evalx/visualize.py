@@ -152,7 +152,7 @@ def make_visual(model, variables, valid_ds: Optional[CaptionDataset] = None,
 def main(argv=None):
     import argparse
     import jax
-    from ..train.checkpoints import load_model_from_checkpoint
+    from ..train.checkpoints import load_any_checkpoint
 
     p = argparse.ArgumentParser(description="attention visualization")
     p.add_argument("--checkpoint", required=True)
@@ -174,7 +174,7 @@ def main(argv=None):
     p.add_argument("--out_dir", default="data/visualize")
     a = p.parse_args(argv)
 
-    model, variables, _ = load_model_from_checkpoint(a.checkpoint)
+    model, variables = load_any_checkpoint(a.checkpoint)
     if a.image is not None:
         if a.idx is not None or a.json is not None:
             p.error("--image conflicts with --idx/--json (it captions an "

@@ -106,14 +106,14 @@ def main(argv=None):
     from .decode.api import unpack_beam_result
     from .decode.beam import beam_search
     from .parallel.mesh import create_mesh, place_tree, shard_batch
-    from .train.checkpoints import load_model_from_checkpoint
+    from .train.checkpoints import load_any_checkpoint
 
     # Serving is embarrassingly parallel: scale across HOSTS by running one
     # independent sat_tpu.serve per host over its own image shard (no
     # jax.distributed — there is nothing to synchronize and a lock-step
     # global batch would only couple the hosts' tail latencies). The mesh
     # below spans this host's chips.
-    model, variables, _ = load_model_from_checkpoint(a.checkpoint)
+    model, variables = load_any_checkpoint(a.checkpoint)
     vocab = model.vocab
     size = model.cfg.input_size
     dt = jnp.bfloat16 if a.precision == 16 else jnp.float32

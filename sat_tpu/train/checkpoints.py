@@ -161,3 +161,20 @@ class RestartCheckpointManager:
                 save_checkpoint(saved, cfg, tree)
         self.prev_lr = current_lr
         return saved
+
+
+def load_any_checkpoint(path: str):
+    """(model, variables) from a SAT-TPU **or** reference-Lightning .ckpt.
+
+    Every CLI takes either format, so a reference user can point their
+    existing trained checkpoints at SAT-TPU tools directly (the BLEU-parity
+    harness path)."""
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if magic == b"PK":  # zip -> torch.save -> reference Lightning checkpoint
+        from ..models.lightning_import import load_reference_checkpoint
+        from ..models.model import SATModel
+        cfg, variables, grid = load_reference_checkpoint(path)
+        return SATModel(cfg, grid), variables
+    model, variables, _ = load_model_from_checkpoint(path)
+    return model, variables
