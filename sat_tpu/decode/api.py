@@ -27,13 +27,15 @@ def caption_from_annotations(
     rescore_method: Optional[str] = None, rescore_reward: float = 0.5,
     return_all: bool = False,
     rng: Optional[jax.Array] = None,
+    early_exit: bool = False,
 ):
     """Decode annotations (B, L, D) -> (captions, scores, alphas, perplexity)."""
     res: BeamResult = beam_search(
         params, cfg, annotations, beamk=beamk, max_gen_length=max_gen_length,
         temperature=temperature, sample_method=sample_method,
         sample_topk=sample_topk, decoder_noise=decoder_noise,
-        rescore_method=rescore_method, rescore_reward=rescore_reward, rng=rng)
+        rescore_method=rescore_method, rescore_reward=rescore_reward, rng=rng,
+        early_exit=early_exit)
     return unpack_beam_result(res, grid_hw, return_all)
 
 

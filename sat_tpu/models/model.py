@@ -89,7 +89,7 @@ class SATModel:
                 decoder_noise: Optional[float] = None,
                 rescore_method: Optional[str] = None,
                 rescore_reward: float = 0.5, return_all: bool = False,
-                rng: Optional[jax.Array] = None):
+                rng: Optional[jax.Array] = None, early_exit: bool = False):
         """images (B, H, W, 3) [0,1] -> (captions, scores, alphas, perplexity)
         python lists, the reference's exact output contract."""
         from ..decode.api import caption_from_annotations
@@ -99,4 +99,5 @@ class SATModel:
             beamk=beamk, max_gen_length=max_gen_length, temperature=temperature,
             sample_method=sample_method, sample_topk=sample_topk,
             decoder_noise=decoder_noise, rescore_method=rescore_method,
-            rescore_reward=rescore_reward, return_all=return_all, rng=rng)
+            rescore_reward=rescore_reward, return_all=return_all, rng=rng,
+            early_exit=early_exit)
