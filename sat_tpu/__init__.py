@@ -7,7 +7,8 @@ Public API (lazy — importing sat_tpu does not initialize jax):
     sat_tpu.Trainer                        full training engine
     sat_tpu.SATModel                       model bundle (encoder zoo + decoder)
     sat_tpu.beam_search / greedy_decode    batched on-device decoding
-    sat_tpu.load_model_from_checkpoint / save_checkpoint
+    sat_tpu.load_any_checkpoint (SAT-TPU or Lightning .ckpt) /
+        load_model_from_checkpoint / save_checkpoint
     sat_tpu.CaptionDataset / CaptionLoader
     sat_tpu.preprocess_karpathy / make_synthetic_dataset / make_learnable_dataset
     sat_tpu.score_captions                 corpus BLEU/GLEU/cossim/perplexity
@@ -27,6 +28,7 @@ _LAZY = {
     "beam_search": ".decode.beam",
     "greedy_decode": ".decode.beam",
     "load_model_from_checkpoint": ".train.checkpoints",
+    "load_any_checkpoint": ".train.checkpoints",
     "save_checkpoint": ".train.checkpoints",
     "CaptionDataset": ".data.dataset",
     "CaptionLoader": ".data.dataset",

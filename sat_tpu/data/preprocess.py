@@ -302,32 +302,33 @@ def main(argv=None):
                         "print vocab stats (preprocess.ipynb cell 18's "
                         "visual sanity check)")
     a = p.parse_args(argv)
-    preprocess_karpathy(
+    data = preprocess_karpathy(
         a.karpathy_json, a.coco_image_folder, a.output,
         ref_sentences=a.ref_sentences, min_count=a.min_count, max_vocab=a.max_vocab,
         max_cap_length=a.max_cap_length, dev_train_keep=a.dev_train_keep,
         dev_val_keep=a.dev_val_keep, glove_file=a.glove_file,
         pretrained_dim=a.pretrained_dim, extend_dim=not a.no_extend_dim, seed=a.seed)
     if a.inspect:
-        inspect_dataset(a.output, a.inspect)
+        inspect_dataset(data, a.inspect)
 
 
-def inspect_dataset(json_path: str, n: int = 3) -> None:
-    """Decode n samples back to words + vocab stats (preprocess.ipynb cell 18)."""
-    data = json.load(open(json_path))
+def inspect_dataset(data, n: int = 3) -> None:
+    """Decode n samples back to words + vocab stats (preprocess.ipynb cell 18).
+    `data`: the dataset dict, or a path to its JSON."""
+    if isinstance(data, str):
+        data = json.load(open(data))
     vocab = Vocab(data["vocab_stoi"])
     print(f"vocab_size={data['vocab_size']} max_cap_length={data['max_cap_length']}"
           f" embed_dim={data.get('embed_dim')}")
     for split in ("train", "val", "test"):
         s = data[split]
-        print(f"{split}: {s['samples']} images x "
-              f"{len(s['encoded_captions'][0])} refs")
+        refs = len(s["encoded_captions"][0]) if s["samples"] else 0
+        print(f"{split}: {s['samples']} images x {refs} refs")
     tr = data["train"]
     for i in range(min(n, tr["samples"])):
         print(f"[{i}] {os.path.basename(tr['img_paths'][i])}")
         for c, l in zip(tr["encoded_captions"][i], tr["lengths"][i]):
-            words = " ".join(vocab.itos(t) for t in c[1:l])
-            print(f"    ({l}) {words}")
+            print(f"    ({l}) {' '.join(vocab.decode(c[1:l]))}")
 
 
 if __name__ == "__main__":

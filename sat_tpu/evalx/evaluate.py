@@ -20,9 +20,6 @@ import time
 from typing import Optional
 
 
-from ..train.checkpoints import load_any_checkpoint  # noqa: E402 (canonical home)
-
-
 def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
              max_gen_length: int = 32, temperature: float = 1.0,
              rescore_method: Optional[str] = "LN", rescore_reward: float = 0.5,
@@ -121,6 +118,7 @@ def main(argv=None):
                         "(exact; faster on trained models)")
     a = p.parse_args(argv)
 
+    from ..train.checkpoints import load_any_checkpoint
     model, variables = load_any_checkpoint(a.checkpoint)
     ds = CaptionDataset(a.json or model.cfg.json, a.split)
     rescore = None if a.rescore_method in ("None", "none", "") else a.rescore_method

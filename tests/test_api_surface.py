@@ -1,8 +1,11 @@
 """Public API surface: sat_tpu exposes the framework's main entry points
 lazily (importing the package must not initialize jax)."""
 
+import os
 import subprocess
 import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 import sat_tpu
 
@@ -26,6 +29,6 @@ def test_package_import_is_jax_free():
     code = ("import sys, sat_tpu; "
             "sys.exit(1 if 'jax' in sys.modules else 0)")
     r = subprocess.run([sys.executable, "-c", code],
-                       env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+                       env={"PYTHONPATH": REPO, "PATH": "/usr/bin:/bin",
                             "HOME": "/root"}, timeout=120)
     assert r.returncode == 0, "importing sat_tpu initialized jax"

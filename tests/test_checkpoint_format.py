@@ -26,8 +26,10 @@ def test_golden_checkpoint_loads_and_decodes():
     assert model.vocab.stoi("<END>") == 23
     assert int(extra.get("step", -1)) == 7 and int(extra.get("epoch", -1)) == 3
 
-    imgs = np.asarray(np.random.default_rng(5).random((2, 32, 32, 3)),
-                      np.float32)
+    # rng-free pinned input: numpy does not guarantee Generator stream
+    # stability across releases (NEP 19), arange does not change
+    imgs = (np.arange(2 * 32 * 32 * 3, dtype=np.float32)
+            .reshape(2, 32, 32, 3) % 256.0) / 255.0
     annots = model.encode(variables, imgs, train=False)
     res = beam_search(variables["params"]["decoder"], model.cfg, annots,
                       beamk=2, max_gen_length=6, rescore_method="LN")
