@@ -94,3 +94,20 @@ def test_serve_corrupt_file_yields_error_record(ckpt_and_images, tmp_path):
     recs = {json.loads(l)["image"]: json.loads(l) for l in open(out)}
     assert "error" in recs[bad] and "caption" not in recs[bad]
     assert "caption" in recs[os.path.join(imgdir, "i0.png")]
+
+
+def test_serve_vocab_tp_mesh_matches_dp(ckpt_and_images, tmp_path):
+    """--mesh_shape 4 2 --mesh_axes data model (vocab tables sharded) must
+    emit the same captions as the default data-parallel mesh."""
+    ck, imgdir = ckpt_and_images
+    out_dp = str(tmp_path / "dp.jsonl")
+    out_tp = str(tmp_path / "tp.jsonl")
+    base = ["--checkpoint", ck, "--images", imgdir, "--batch", "8",
+            "--beamk", "2", "--max_gen_length", "6", "--precision", "32"]
+    assert serve_main(base + ["--output", out_dp]) == 0
+    assert serve_main(base + ["--mesh_shape", "4", "2",
+                              "--mesh_axes", "data", "model",
+                              "--output", out_tp]) == 0
+    dp = {json.loads(l)["image"]: json.loads(l)["caption"] for l in open(out_dp)}
+    tp = {json.loads(l)["image"]: json.loads(l)["caption"] for l in open(out_tp)}
+    assert dp == tp and len(dp) == 10
