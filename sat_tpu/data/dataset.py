@@ -107,13 +107,20 @@ class BucketSampler:
         for i in idxs:
             groups.setdefault(int(totals[i]), []).append(i)
         self.grouped = [groups[k] for k in sorted(groups, reverse=True)]
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0  # set_epoch makes shuffles a pure fn of (seed, epoch)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __iter__(self) -> Iterator[int]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self._seed, 11, self._epoch]))
         out: List[int] = []
         for g in self.grouped:
-            self._rng.shuffle(g)
+            rng.shuffle(g)
             out.extend(g)
+        self._epoch += 1  # stateless fallback when set_epoch isn't driven
         return iter(out)
 
     def __len__(self) -> int:
@@ -170,16 +177,25 @@ class CaptionLoader:
             if self._native is None and native_decode is True:
                 raise RuntimeError("native_decode=True but the C++ jpeg "
                                    "pipeline failed to build/load")
-        # Two streams: _shuffle_rng drives ONLY the epoch permutation, so the
-        # order stays identical on every host no matter how many augmentation
-        # draws each host makes (e.g. a PIL-fallback crop for a corrupt image
-        # on one host must not desynchronize the next epoch's shuffle).
-        self._shuffle_rng = np.random.default_rng(seed)
-        self._rng = np.random.default_rng(
-            np.random.SeedSequence([seed, process_index]))
+        # Per-epoch STATELESS rng streams (derived in __iter__): the epoch
+        # permutation is a pure function of (seed, epoch) — identical on every
+        # host regardless of augmentation draw counts (a PIL-fallback crop for
+        # a corrupt image must not desynchronize hosts), and identical whether
+        # the run reached epoch E directly or through a checkpoint resume
+        # (bit-exact resume).  Crop/augment draws get their own
+        # (seed, process, epoch) stream.
+        self._seed = seed
+        self._shuffle_rng = np.random.default_rng(seed)  # rebound per epoch
+        self._rng = np.random.default_rng(seed)          # rebound per epoch
         self._sampler = (BucketSampler(ds.lengths, batch_size, seed=seed)
                          if bucket else None)
         self._epoch = 0
+        self._external_epoch: Optional[int] = None
+
+    def set_epoch(self, epoch: int) -> None:
+        """Drive the per-epoch rng streams explicitly (Trainer does this with
+        the global epoch index so resumed runs replay the exact data order)."""
+        self._external_epoch = epoch
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -248,6 +264,14 @@ class CaptionLoader:
         return {"images": imgs, "captions": captions, "lengths": lengths}
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        epoch = (self._external_epoch if self._external_epoch is not None
+                 else self._epoch)
+        self._rng = np.random.default_rng(
+            np.random.SeedSequence([self._seed, 5, self.process_index, epoch]))
+        self._shuffle_rng = np.random.default_rng(
+            np.random.SeedSequence([self._seed, 7, epoch]))
+        if self._sampler is not None:
+            self._sampler.set_epoch(epoch)
         order = self._order()
         n_full = len(order) // self.batch_size
         batches = [order[i * self.batch_size:(i + 1) * self.batch_size]

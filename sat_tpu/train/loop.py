@@ -46,6 +46,8 @@ class Trainer:
                  log_root: str = "logs"):
         assert cfg.json is not None or dataset is not None
         self.rng = jax.random.PRNGKey(cfg.seed)
+        self._step_rng_base = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.seed), 0x5A7)
 
         # -- data (reference: train.py:235-259) --------------------------
         self.train_ds = CaptionDataset(dataset if dataset is not None else cfg.json,
@@ -251,13 +253,19 @@ class Trainer:
         enc_on = (cfg.encoder_finetune_after > 0 and cfg.encoder_lr > 0)
         timer = StepTimer()
         pending = None
+        # data order/augs become a pure fn of (seed, epoch) -> resume replays
+        self.train_loader.set_epoch(self.current_epoch)
         for batch in self.train_loader:
             lrs = self.scheduler.current_lrs(self.global_step)
             train_encoder = (enc_on
                              and self.global_step >= cfg.encoder_finetune_after)
             if not train_encoder:
                 lrs = dict(lrs, encoder=0.0)
-            self.rng, step_rng = jax.random.split(self.rng)
+            # per-step rng is a pure function of (seed, global_step): a
+            # resumed run replays the exact augmentation/TF randomness the
+            # uninterrupted run would have used (bit-exact resume)
+            step_rng = jax.random.fold_in(self._step_rng_base,
+                                          self.global_step)
             dbatch = shard_batch(batch, self.mesh)
             self.variables, self.opt_state, metrics = self._jit_train_step(
                 self.variables, self.opt_state, dbatch,
@@ -297,6 +305,7 @@ class Trainer:
             self.variables["params"]["decoder"]["embedding"]))
         n_dev = self.mesh.devices.size
         n_proc = jax.process_count()
+        self.val_loader.set_epoch(self.current_epoch)
         for i, batch in enumerate(self.val_loader):
             if i >= limit:
                 break

@@ -59,3 +59,45 @@ def test_resume_restores_scheduler_state(tmp_path):
     t2 = Trainer(cfg.replace(resume=ckpt), log_root=str(tmp_path / "l2"))
     lr_resumed = t2.scheduler.current_lrs(t2.global_step)["decoder"]
     assert abs(lr_resumed - lr_before) < 1e-12
+
+
+def test_resume_is_bit_exact(tmp_path):
+    """Interrupted-and-resumed training must equal uninterrupted training
+    BITWISE: data order, host crop augs, device augs, scheduled-sampling
+    coins, and optimizer updates are all pure functions of
+    (seed, epoch, global_step), so 2+resume+2 epochs == 4 straight epochs."""
+    import numpy as np
+    import jax
+    json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=16,
+                                       n_val=8, image_size=32,
+                                       max_cap_length=6)
+    base = SATConfig(json=json_path, batch=8, epochs=4, input_size=32,
+                     encoder_arch="shufflenet_v2_x0_5", encoder_dim=16,
+                     embed_dim=8, attention_dim=8, decoder_dim=16,
+                     decoder_tf="linear", decoder_tf_min=0.3, val_interval=100,
+                     seed=3, aug_scale=0.8, aug_hflip=0.5, aug_noise_std=0.01,
+                     scheduler="cosine", cosine_iterations=2,
+                     lr_warmup_steps=2)
+
+    straight = Trainer(base, log_root=str(tmp_path / "l_straight"))
+    straight.fit()
+
+    # emulate a real interruption: same 4-epoch config (the TF-epsilon
+    # schedule depends on total epochs), killed after epoch 1
+    half = Trainer(base, log_root=str(tmp_path / "l_half"))
+    for e in range(2):
+        half.current_epoch = e
+        half.train_epoch()
+    from sat_tpu.train.checkpoints import save_checkpoint
+    ckpt = os.path.join(str(tmp_path), "interrupt.ckpt")
+    save_checkpoint(ckpt, half.cfg, half._checkpoint_tree())
+    resumed = Trainer(base.replace(resume=ckpt, epochs=4),
+                      log_root=str(tmp_path / "l_resumed"))
+    resumed.fit()
+
+    assert resumed.global_step == straight.global_step
+    a = jax.device_get(straight.variables["params"])
+    b = jax.device_get(resumed.variables["params"])
+    for pa, pb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
