@@ -48,7 +48,7 @@ def build_model(arch: str, input_size: int, vocab_size: int, precision: int,
 
 def bench_batch(model, variables, batch: int, max_gen_length: int,
                 precision: int, k_small: int = 2, k_large: int = 16,
-                reps: int = 5, fused=False, beamk: int = 1):
+                reps: int = 3, fused=False, beamk: int = 1):
     """Honest device timing through the axon tunnel.
 
     Client-side completion signals (block_until_ready) through the relay fire
