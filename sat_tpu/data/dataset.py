@@ -118,7 +118,8 @@ class BucketSampler:
             np.random.SeedSequence([self._seed, 11, self._epoch]))
         out: List[int] = []
         for g in self.grouped:
-            rng.shuffle(g)
+            g = list(g)  # shuffle a COPY: order stays a pure fn of
+            rng.shuffle(g)  # (seed, epoch), independent of shuffle history
             out.extend(g)
         self._epoch += 1  # stateless fallback when set_epoch isn't driven
         return iter(out)
@@ -185,8 +186,10 @@ class CaptionLoader:
         # (bit-exact resume).  Crop/augment draws get their own
         # (seed, process, epoch) stream.
         self._seed = seed
-        self._shuffle_rng = np.random.default_rng(seed)  # rebound per epoch
-        self._rng = np.random.default_rng(seed)          # rebound per epoch
+        # placeholders only — __iter__ rebinds both from per-epoch
+        # SeedSequence streams before any draw
+        self._shuffle_rng = np.random.default_rng(seed)
+        self._rng = np.random.default_rng(seed)
         self._sampler = (BucketSampler(ds.lengths, batch_size, seed=seed)
                          if bucket else None)
         self._epoch = 0
@@ -291,16 +294,33 @@ class CaptionLoader:
                 yield self._make_batch(bidx, trim)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
+        stop = threading.Event()  # consumer may abandon the epoch early
+        # (val_percent limits, early stopping): the producer must not stay
+        # blocked on a full queue forever
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             for bidx, trim in batches:
-                q.put(self._make_batch(bidx, trim))
-            q.put(None)
+                if not _put(self._make_batch(bidx, trim)):
+                    return
+            _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=10)

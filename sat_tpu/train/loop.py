@@ -110,6 +110,7 @@ class Trainer:
 
         self.global_step = 0
         self.current_epoch = 0
+        self._resume_skip_batches = 0
         self.early_stop_count = 0
         self.early_stop_best: Optional[float] = None
         if cfg.resume:
@@ -125,7 +126,15 @@ class Trainer:
                 "state": restore(self.variables["state"], raw["state"])}
             self.opt_state = restore(self.opt_state, raw["opt_state"])
             self.global_step = int(raw["step"])
-            self.current_epoch = int(raw["epoch"]) + 1
+            spe = max(len(self.train_loader), 1)
+            self._resume_skip_batches = self.global_step % spe
+            # epoch-boundary ckpt (top-k/last): offset 0 -> start next epoch.
+            # mid-epoch ckpt (restart-{step}): re-enter the SAME epoch and
+            # skip the batches already trained — stateless (seed, epoch)
+            # data order makes the remainder replay exactly, so resume is
+            # bit-exact for BOTH checkpoint kinds
+            self.current_epoch = int(raw["epoch"]) + (
+                1 if self._resume_skip_batches == 0 else 0)
             if "scheduler" in raw:
                 self.scheduler.load_state_dict(raw["scheduler"])
             if "early_stop" in raw:
@@ -245,7 +254,9 @@ class Trainer:
         self.logger.train_step(host, step)
         epoch_metrics.append(host)
 
-    def train_epoch(self) -> Dict[str, float]:
+    def train_epoch(self, max_batches: Optional[int] = None) -> Dict[str, float]:
+        """One epoch.  max_batches stops early after that many steps — a
+        controlled stand-in for an interruption (tests) or a quick profile."""
         from ..utils.timing import StepTimer
         cfg = self.cfg
         epoch_metrics: List[Dict[str, float]] = []
@@ -253,9 +264,17 @@ class Trainer:
         enc_on = (cfg.encoder_finetune_after > 0 and cfg.encoder_lr > 0)
         timer = StepTimer()
         pending = None
+        done = 0
         # data order/augs become a pure fn of (seed, epoch) -> resume replays
         self.train_loader.set_epoch(self.current_epoch)
-        for batch in self.train_loader:
+        skip = self._resume_skip_batches  # mid-epoch resume: already trained
+        self._resume_skip_batches = 0
+        for bi, batch in enumerate(self.train_loader):
+            if bi < skip:
+                continue
+            if max_batches is not None and done >= max_batches:
+                break
+            done += 1
             lrs = self.scheduler.current_lrs(self.global_step)
             train_encoder = (enc_on
                              and self.global_step >= cfg.encoder_finetune_after)

@@ -61,38 +61,52 @@ def test_resume_restores_scheduler_state(tmp_path):
     assert abs(lr_resumed - lr_before) < 1e-12
 
 
-def test_resume_is_bit_exact(tmp_path):
+@pytest.mark.parametrize("bucket,workers,mid_epoch", [
+    (False, 0, False),   # plain shuffle, epoch-boundary interrupt
+    (True, 2, False),    # bucket sampler + threaded prefetch
+    (False, 0, True),    # killed MID-epoch (restart-{step}.ckpt semantics)
+])
+def test_resume_is_bit_exact(tmp_path, bucket, workers, mid_epoch):
     """Interrupted-and-resumed training must equal uninterrupted training
     BITWISE: data order, host crop augs, device augs, scheduled-sampling
     coins, and optimizer updates are all pure functions of
-    (seed, epoch, global_step), so 2+resume+2 epochs == 4 straight epochs."""
+    (seed, epoch, global_step) — including with the bucket sampler, threaded
+    prefetch, and mid-epoch checkpoints (same epoch re-entered, already-
+    trained batches skipped)."""
     import numpy as np
     import jax
     json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=16,
                                        n_val=8, image_size=32,
                                        max_cap_length=6)
-    base = SATConfig(json=json_path, batch=8, epochs=4, input_size=32,
+    base = SATConfig(json=json_path, batch=8, epochs=3, input_size=32,
                      encoder_arch="shufflenet_v2_x0_5", encoder_dim=16,
                      embed_dim=8, attention_dim=8, decoder_dim=16,
                      decoder_tf="linear", decoder_tf_min=0.3, val_interval=100,
                      seed=3, aug_scale=0.8, aug_hflip=0.5, aug_noise_std=0.01,
                      scheduler="cosine", cosine_iterations=2,
-                     lr_warmup_steps=2)
+                     lr_warmup_steps=2, bucket_sampler=bucket, workers=workers)
 
     straight = Trainer(base, log_root=str(tmp_path / "l_straight"))
     straight.fit()
 
-    # emulate a real interruption: same 4-epoch config (the TF-epsilon
-    # schedule depends on total epochs), killed after epoch 1
+    # emulate a real interruption: same 3-epoch config (the TF-epsilon
+    # schedule depends on total epochs)
     half = Trainer(base, log_root=str(tmp_path / "l_half"))
-    for e in range(2):
-        half.current_epoch = e
+    half.current_epoch = 0
+    half.train_epoch()
+    if mid_epoch:
+        half.current_epoch = 1
+        half.train_epoch(max_batches=1)  # killed partway through epoch 1
+    else:
+        half.current_epoch = 1
         half.train_epoch()
     from sat_tpu.train.checkpoints import save_checkpoint
     ckpt = os.path.join(str(tmp_path), "interrupt.ckpt")
     save_checkpoint(ckpt, half.cfg, half._checkpoint_tree())
-    resumed = Trainer(base.replace(resume=ckpt, epochs=4),
+    resumed = Trainer(base.replace(resume=ckpt),
                       log_root=str(tmp_path / "l_resumed"))
+    if mid_epoch:
+        assert resumed.current_epoch == 1 and resumed._resume_skip_batches == 1
     resumed.fit()
 
     assert resumed.global_step == straight.global_step
