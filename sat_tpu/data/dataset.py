@@ -317,7 +317,14 @@ class CaptionLoader:
         t.start()
         try:
             while True:
-                item = q.get()
+                try:
+                    item = q.get(timeout=1.0)
+                except queue.Empty:
+                    if not t.is_alive():  # producer died on an exception:
+                        raise RuntimeError(  # surface it, don't hang
+                            "prefetch producer thread died (see traceback "
+                            "above)")
+                    continue
                 if item is None:
                     break
                 yield item
