@@ -48,7 +48,8 @@ def build_model(arch: str, input_size: int, vocab_size: int, precision: int,
 
 def bench_batch(model, variables, batch: int, max_gen_length: int,
                 precision: int, k_small: int = 2, k_large: int = 16,
-                reps: int = 3, fused=False, beamk: int = 1):
+                reps: int = 3, fused=False, beamk: int = 1,
+                early_exit: bool = False):
     """Honest device timing through the axon tunnel.
 
     Client-side completion signals (block_until_ready) through the relay fire
@@ -58,7 +59,12 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
     nothing can be parallelized or memoized), fetch the result to host (data
     arrival is the only trustworthy completion event), and take the MARGINAL
     time between k_large and k_small chains — constant RPC/fetch overhead
-    cancels out."""
+    cancels out.
+
+    Returns (imgs_per_sec, spread): the rate from the MEDIAN of `reps`
+    paired marginal times, and (max-min)/median of those pairs — the
+    caller's variance signal (the relay is documented ±30%; VERDICT r1 #4
+    asks for the spread in the JSON line)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -83,14 +89,15 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
             else:
                 toks = greedy_decode(variables["params"]["decoder"], model.cfg,
                                      annots, max_gen_length=max_gen_length,
-                                     fused=fused).tokens
+                                     fused=fused,
+                                     early_exit=early_exit).tokens
             acc = acc + toks.sum()
             im = im + (acc % 3).astype(im.dtype) * jnp.asarray(1e-4, im.dtype)
             return (im, acc)
         _, acc = jax.lax.fori_loop(0, k, body, (im, jnp.int32(0)))
         return acc
 
-    times = {}
+    raw = {}
     for k in (k_small, k_large):
         np.array(loop(variables, im0, k))  # compile + warm
         rs = []
@@ -98,13 +105,18 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
             t0 = time.time()
             np.array(loop(variables, im0 + jnp.asarray(r * 1e-3, dt_in), k))
             rs.append(time.time() - t0)
-        times[k] = float(np.median(rs))
-    per_batch = (times[k_large] - times[k_small]) / (k_large - k_small)
-    if per_batch <= 0:
+        raw[k] = rs
+    pairs = [(tl - ts) / (k_large - k_small)
+             for tl, ts in zip(raw[k_large], raw[k_small])]
+    pairs = [p for p in pairs if p > 0]
+    if not pairs:
         # relay noise swamped a narrow k spread: fall back to the conservative
         # whole-program bound (includes RPC overhead -> underestimates)
-        per_batch = times[k_large] / k_large
-    return batch / per_batch
+        per_batch = float(np.median(raw[k_large])) / k_large
+        return batch / per_batch, float("inf")
+    per_batch = float(np.median(pairs))
+    spread = (max(pairs) - min(pairs)) / per_batch if len(pairs) > 1 else 0.0
+    return batch / per_batch, float(spread)
 
 
 def bench_train_step(arch: str, input_size: int, vocab_size: int,
@@ -174,7 +186,7 @@ def bench_train_step(arch: str, input_size: int, vocab_size: int,
         variables, _ = jax.lax.fori_loop(0, k, body, (variables, opt_state))
         return variables["params"]["decoder"]["embedding"].sum()
 
-    times = {}
+    raw = {}
     for k in (k_small, k_large):
         np.array(loop(trainer.variables, trainer.opt_state, dbatch, k))
         rs = []
@@ -182,11 +194,24 @@ def bench_train_step(arch: str, input_size: int, vocab_size: int,
             t0 = time.time()
             np.array(loop(trainer.variables, trainer.opt_state, dbatch, k))
             rs.append(time.time() - t0)
-        times[k] = float(np.median(rs))
-    per_step = (times[k_large] - times[k_small]) / (k_large - k_small)
-    if per_step <= 0:
-        per_step = times[k_large] / k_large
-    return batch / per_step
+        raw[k] = rs
+    pairs = [(tl - ts) / (k_large - k_small)
+             for tl, ts in zip(raw[k_large], raw[k_small])]
+    pairs = [p for p in pairs if p > 0]
+    if not pairs:
+        per_step = float(np.median(raw[k_large])) / k_large
+        return batch / per_step, float("inf")
+    per_step = float(np.median(pairs))
+    spread = (max(pairs) - min(pairs)) / per_step if len(pairs) > 1 else 0.0
+    return batch / per_step, float(spread)
+
+
+def _finite(x):
+    """Spread for the JSON line: None when unmeasurable (single-pair quick
+    runs fall back to the whole-program bound with spread=inf, and Infinity
+    is not valid JSON)."""
+    import math
+    return round(x, 3) if x is not None and math.isfinite(x) else None
 
 
 def main(argv=None):
@@ -224,27 +249,30 @@ def main(argv=None):
 
     if args.train:
         batches = args.batches or ([32] if args.quick else [64, 128, 256])
-        best, best_b = 0.0, 0
+        best, best_b, best_spread = 0.0, 0, None
         for b in batches:
             try:
-                v = bench_train_step(args.arch, args.input_size,
-                                     args.vocab_size, args.precision, b,
-                                     train_encoder=not args.frozen_encoder,
-                                     reps=1 if args.quick else 3,
-                                     encoder_dim=args.encoder_dim)
+                v, spread = bench_train_step(
+                    args.arch, args.input_size, args.vocab_size,
+                    args.precision, b,
+                    train_encoder=not args.frozen_encoder,
+                    reps=1 if args.quick else 3,
+                    encoder_dim=args.encoder_dim)
             except Exception as e:
                 print(f"# train batch {b} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
                 continue
-            print(f"# train {args.arch} b={b}: {v:.0f} imgs/s", file=sys.stderr)
+            print(f"# train {args.arch} b={b}: {v:.0f} imgs/s "
+                  f"(spread {spread:.0%})", file=sys.stderr)
             if v > best:
-                best, best_b = v, b
+                best, best_b, best_spread = v, b, spread
         # vs_baseline: the reference's implied end-to-end training rate
         # (~80 imgs/s: 32k imgs x 90 epochs ~ 2h, dev/presentation.txt:122-128)
         print(json.dumps({
             "metric": "train_step_images_per_sec_per_chip",
             "value": round(best, 1), "unit": "imgs/s",
             "vs_baseline": round(best / 80.0, 3),
+            "spread": _finite(best_spread),
             "config": {"arch": args.arch, "batch": best_b,
                        "input_size": args.input_size,
                        "precision": args.precision, "vocab": args.vocab_size,
@@ -265,28 +293,61 @@ def main(argv=None):
         try:
             # B=1 is far below the relay's measurement floor; a 400-caption
             # in-program chain makes the marginal time resolvable
-            lat = bench_batch(model, variables, 1, args.max_gen_length,
-                              args.precision, k_small=2, k_large=402, reps=3)
+            lat, _ = bench_batch(model, variables, 1, args.max_gen_length,
+                                 args.precision, k_small=2, k_large=402,
+                                 reps=3)
             print(f"# p50 single-image caption latency: {1e3/lat:.3f} ms",
                   file=sys.stderr)
         except Exception as e:
             print(f"# latency probe failed: {type(e).__name__}", file=sys.stderr)
 
-    best, best_b = 0.0, 0
+    fused_arg = {"off": False, "step": True, "loop": "loop"}[args.fused]
+
+    def measure(b, k_hi, early_exit=False):
+        """One config; when the relay is noisy (spread > 35%), remeasure
+        with a doubled chain length and keep the tighter run (VERDICT r1
+        #4 headline-stabilization)."""
+        v, spread = bench_batch(model, variables, b, args.max_gen_length,
+                                args.precision, k_small=2, k_large=k_hi,
+                                reps=1 if args.quick else 3,
+                                fused=fused_arg, beamk=args.beamk,
+                                early_exit=early_exit)
+        if spread > 0.35 and not args.quick:
+            v2, spread2 = bench_batch(model, variables, b,
+                                      args.max_gen_length, args.precision,
+                                      k_small=2, k_large=2 * k_hi, reps=3,
+                                      fused=fused_arg, beamk=args.beamk,
+                                      early_exit=early_exit)
+            if spread2 < spread:
+                v, spread = v2, spread2
+        return v, spread
+
+    best, best_b, best_spread, best_ee = 0.0, 0, None, False
     for b in batches:
         try:
-            v = bench_batch(model, variables, b, args.max_gen_length,
-                            args.precision, k_small=2, k_large=k_large,
-                            reps=1 if args.quick else 3,
-                            fused={"off": False, "step": True,
-                                   "loop": "loop"}[args.fused],
-                            beamk=args.beamk)
+            v, spread = measure(b, k_large)
         except Exception as e:  # OOM at large batch: report what fits
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
             continue
-        print(f"# {args.arch} b={b}: {v:.0f} imgs/s", file=sys.stderr)
+        print(f"# {args.arch} b={b}: {v:.0f} imgs/s (spread {spread:.0%})",
+              file=sys.stderr)
         if v > best:
-            best, best_b = v, b
+            best, best_b, best_spread = v, b, spread
+    # greedy early-exit variant at the winning batch: real checkpoints emit
+    # <END> well before max_gen_length (reference loop break, model.py:441),
+    # so the while_loop path can win; with random bench weights it usually
+    # ties minus loop overhead — measured, not assumed.  XLA path only: the
+    # Pallas kernels ignore early_exit, so the "variant" would be the same
+    # cached program and the marginal time measures pure relay noise.
+    if args.beamk <= 1 and args.fused == "off" and not args.quick and best_b:
+        try:
+            v, spread = measure(best_b, k_large, early_exit=True)
+            print(f"# {args.arch} b={best_b} early_exit: {v:.0f} imgs/s "
+                  f"(spread {spread:.0%})", file=sys.stderr)
+            if v > best:
+                best, best_spread, best_ee = v, spread, True
+        except Exception as e:
+            print(f"# early_exit failed: {type(e).__name__}", file=sys.stderr)
     result = {
         "metric": ("greedy_captioning_images_per_sec_per_chip"
                    if args.beamk <= 1 else
@@ -294,11 +355,13 @@ def main(argv=None):
         "value": round(best, 1),
         "unit": "imgs/s",
         "vs_baseline": round(best / 5000.0, 3),
+        "spread": _finite(best_spread),
         "config": {"arch": args.arch, "batch": best_b,
                    "input_size": args.input_size,
                    "max_gen_length": args.max_gen_length,
                    "precision": args.precision, "vocab": args.vocab_size,
-                   "fused_kernel": args.fused, "beamk": args.beamk},
+                   "fused_kernel": args.fused, "beamk": args.beamk,
+                   "early_exit": best_ee},
     }
     print(json.dumps(result))
     return result

@@ -194,11 +194,19 @@ class CaptionLoader:
                          if bucket else None)
         self._epoch = 0
         self._external_epoch: Optional[int] = None
+        self._skip_next = 0  # one-shot mid-epoch-resume offset (set_epoch)
 
-    def set_epoch(self, epoch: int) -> None:
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
         """Drive the per-epoch rng streams explicitly (Trainer does this with
-        the global epoch index so resumed runs replay the exact data order)."""
+        the global epoch index so resumed runs replay the exact data order).
+
+        skip_batches > 0 (mid-epoch resume) drops the first N batches of the
+        epoch BEFORE any image is decoded — already-trained batches cost
+        nothing on resume (ADVICE r1, low).  Crop randomness stays bit-exact
+        because the crop rng is derived per batch from the GLOBAL batch
+        index, not consumed sequentially across the epoch."""
         self._external_epoch = epoch
+        self._skip_next = skip_batches
 
     def __len__(self) -> int:
         n = len(self.ds)
@@ -256,8 +264,16 @@ class CaptionLoader:
         t_needed = int(self.ds.lengths[list(idxs)].max()) + 1
         return min(-(-t_needed // 4) * 4 + 1, self.ds.encoded_captions.shape[2])
 
-    def _make_batch(self, idxs: Sequence[int],
-                    trim_to: Optional[int] = None) -> Dict[str, np.ndarray]:
+    def _make_batch(self, idxs: Sequence[int], trim_to: Optional[int] = None,
+                    stream: Optional[Tuple[int, int]] = None
+                    ) -> Dict[str, np.ndarray]:
+        if stream is not None:
+            # crop rng is a pure fn of (seed, process, epoch, GLOBAL batch
+            # index): mid-epoch resume can skip batches without decoding them
+            # and still replay the remainder's crops bit-exactly
+            epoch, bi = stream
+            self._rng = np.random.default_rng(np.random.SeedSequence(
+                [self._seed, 5, self.process_index, epoch, bi]))
         imgs = self._load_images(idxs)
         captions = self.ds.encoded_captions[list(idxs)]
         lengths = self.ds.lengths[list(idxs)]
@@ -288,10 +304,16 @@ class CaptionLoader:
             batches = [(b[lo:lo + local], self._trim_len(b)) for b in batches]
         else:
             batches = [(b, None) for b in batches]
+        # mid-epoch resume: drop already-trained batches BEFORE decoding
+        # anything; the surviving batches keep their global index so their
+        # crop rng streams are unchanged
+        batches = [(bidx, trim, (epoch, bi))
+                   for bi, (bidx, trim) in enumerate(batches)][self._skip_next:]
+        self._skip_next = 0
         self._epoch += 1
         if self.workers == 0:
-            for bidx, trim in batches:
-                yield self._make_batch(bidx, trim)
+            for bidx, trim, stream in batches:
+                yield self._make_batch(bidx, trim, stream)
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.workers * 2)
         stop = threading.Event()  # consumer may abandon the epoch early
@@ -308,8 +330,8 @@ class CaptionLoader:
             return False
 
         def producer():
-            for bidx, trim in batches:
-                if not _put(self._make_batch(bidx, trim)):
+            for bidx, trim, stream in batches:
+                if not _put(self._make_batch(bidx, trim, stream)):
                     return
             _put(None)
 

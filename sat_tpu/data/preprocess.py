@@ -301,6 +301,10 @@ def main(argv=None):
                    help="after writing, decode N samples back to words and "
                         "print vocab stats (preprocess.ipynb cell 18's "
                         "visual sanity check)")
+    p.add_argument("--inspect_images", default=None, metavar="DIR",
+                   help="with --inspect: also save an image montage of the "
+                        "inspected samples to DIR/inspect.jpg (cell 18's "
+                        "visual half)")
     a = p.parse_args(argv)
     data = preprocess_karpathy(
         a.karpathy_json, a.coco_image_folder, a.output,
@@ -309,12 +313,14 @@ def main(argv=None):
         dev_val_keep=a.dev_val_keep, glove_file=a.glove_file,
         pretrained_dim=a.pretrained_dim, extend_dim=not a.no_extend_dim, seed=a.seed)
     if a.inspect:
-        inspect_dataset(data, a.inspect)
+        inspect_dataset(data, a.inspect, image_dir=a.inspect_images)
 
 
-def inspect_dataset(data, n: int = 3) -> None:
+def inspect_dataset(data, n: int = 3, image_dir: str = None) -> None:
     """Decode n samples back to words + vocab stats (preprocess.ipynb cell 18).
-    `data`: the dataset dict, or a path to its JSON."""
+    `data`: the dataset dict, or a path to its JSON.  With `image_dir`, also
+    writes DIR/inspect.jpg — a caption-annotated montage of the n samples
+    (cell 18 displays each image above its decoded captions)."""
     if isinstance(data, str):
         data = json.load(open(data))
     vocab = Vocab(data["vocab_stoi"])
@@ -325,10 +331,40 @@ def inspect_dataset(data, n: int = 3) -> None:
         refs = len(s["encoded_captions"][0]) if s["samples"] else 0
         print(f"{split}: {s['samples']} images x {refs} refs")
     tr = data["train"]
-    for i in range(min(n, tr["samples"])):
+    n = min(n, tr["samples"])
+    for i in range(n):
         print(f"[{i}] {os.path.basename(tr['img_paths'][i])}")
         for c, l in zip(tr["encoded_captions"][i], tr["lengths"][i]):
             print(f"    ({l}) {' '.join(vocab.decode(c[1:l]))}")
+    if image_dir and n:
+        _write_inspect_montage(data, n, image_dir)
+
+
+def _write_inspect_montage(data, n: int, image_dir: str,
+                           tile: int = 256) -> str:
+    """n (image, first-caption) tiles stacked vertically -> inspect.jpg."""
+    from PIL import Image, ImageDraw
+    vocab = Vocab(data["vocab_stoi"])
+    tr = data["train"]
+    band = 24
+    canvas = Image.new("RGB", (tile, n * (tile + band)), (255, 255, 255))
+    draw = ImageDraw.Draw(canvas)
+    for i in range(n):
+        y = i * (tile + band)
+        try:
+            img = Image.open(tr["img_paths"][i]).convert("RGB")
+            img = img.resize((tile, tile), Image.BILINEAR)
+            canvas.paste(img, (0, y))
+        except Exception as e:  # missing image file: annotate, keep going
+            draw.text((4, y + tile // 2), f"<unreadable: {e}>", fill=(255, 0, 0))
+        cap = " ".join(vocab.decode(
+            tr["encoded_captions"][i][0][1:tr["lengths"][i][0]]))
+        draw.text((4, y + tile + 4), cap[:60], fill=(0, 0, 0))
+    os.makedirs(image_dir, exist_ok=True)
+    path = os.path.join(image_dir, "inspect.jpg")
+    canvas.save(path, quality=90)
+    print(f"montage -> {path}")
+    return path
 
 
 if __name__ == "__main__":

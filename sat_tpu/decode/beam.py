@@ -37,8 +37,8 @@ import jax.numpy as jnp
 
 from ..config import SATConfig
 from ..models.decoder import (attention_precompute, decoder_step, embed_tokens,
-                              init_lstm_state, soft_attention, beta_gate,
-                              deep_output)
+                              init_lstm_state, init_lstm_state_beams,
+                              soft_attention, beta_gate, deep_output)
 from ..ops.lstm import lstm_stack_step
 
 NEG_INF = -1e9
@@ -109,10 +109,10 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
     # reference's per-beam annotation copies (model.py:265-266, 398).
     att_enc = attention_precompute(params, annotations)          # (B, L, A)
 
-    # Beam-expanded LSTM init: identical across beams.
-    h0, c0 = init_lstm_state(params, annotations, cfg)           # (layers, B, H)
-    h0 = jnp.repeat(h0[:, :, None], k, axis=2)                   # (layers, B, k, H)
-    c0 = jnp.repeat(c0[:, :, None], k, axis=2)
+    # Beam-expanded LSTM init: the reference's per-image k-row reshape hands
+    # each beam slot a DIFFERENT slice of the init projection (model.py:79 —
+    # see init_lstm_state_beams)
+    h0, c0 = init_lstm_state_beams(params, annotations, cfg, k)  # (layers, B, k, H)
 
     tokens0 = jnp.full((b, k, S + 2), pad_i, jnp.int32).at[:, :, 0].set(start_i)
     scores0 = jnp.zeros((b, k), jnp.float32)
@@ -207,6 +207,13 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         _, flat_idx = jax.lax.top_k(sel.reshape(b, k * v), k)        # (B, k)
         parent = flat_idx // v
         token = (flat_idx % v).astype(jnp.int32)
+        # Step 0: the reference selects the k tokens from SLOT 0's scores but
+        # does NOT gather states/alphas by parent (model.py:342-347 has no
+        # keep_seq_idxs) — every slot keeps its OWN h/c/alpha, which differ
+        # across slots because the init reshape hands each slot a different
+        # projection slice (init_lstm_state_beams).  State lineage therefore
+        # uses the identity parent at t=0.
+        sparent = jnp.where(t == 0, jnp.arange(k)[None, :], parent)
 
         p_finished = jnp.take_along_axis(finished, parent, axis=1)
         p_scores = jnp.take_along_axis(scores, parent, axis=1)
@@ -231,11 +238,11 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         new_tokens = jax.lax.dynamic_update_index_in_dim(
             new_tokens, new_token, t + 1, axis=2)
 
-        new_h = _gather_beams(h_new, parent, axis=2)
-        new_c = _gather_beams(c_new, parent, axis=2)
+        new_h = _gather_beams(h_new, sparent, axis=2)
+        new_c = _gather_beams(c_new, sparent, axis=2)
 
-        new_alphas = jnp.take_along_axis(alphas, parent[:, :, None, None], axis=1)
-        step_alpha = jnp.take_along_axis(alpha, parent[:, :, None], axis=1)
+        new_alphas = jnp.take_along_axis(alphas, sparent[:, :, None, None], axis=1)
+        step_alpha = jnp.take_along_axis(alpha, sparent[:, :, None], axis=1)
         new_alphas = jax.lax.dynamic_update_index_in_dim(
             new_alphas, step_alpha.astype(new_alphas.dtype), t, axis=2)
 
@@ -288,13 +295,21 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
 
 def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
                   *, max_gen_length: int = 32,
-                  temperature: float = 1.0, fused: bool = False) -> BeamResult:
+                  temperature: float = 1.0, fused: bool = False,
+                  early_exit: bool = False) -> BeamResult:
     """Throughput fast path: beam width 1 without candidate machinery.
 
     Equivalent to beam_search(beamk=1, sample_method="beam") but with a plain
     per-step argmax — the kernel the >=5k imgs/sec/chip target is measured on.
     With ``fused=True`` (single-layer LSTM only) the per-step compute runs in
-    the fused Pallas kernel (kernels/decoder_step.py)."""
+    the fused Pallas kernel (kernels/decoder_step.py).
+
+    early_exit=True runs the time loop as a ``lax.while_loop`` that stops as
+    soon as every caption in the batch has emitted <END> — the batched
+    equivalent of the reference's serial-loop break (model.py:427-446).
+    Outputs are EXACT vs the scan (finished rows only append PAD and their
+    scores/alphas freeze); the win is data-dependent: short-caption batches
+    skip the tail steps the fixed scan always pays."""
     b, L, d = annotations.shape
     S = max_gen_length
     v = cfg.vocab_size
@@ -345,9 +360,10 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
     step0_mask = always_mask.at[jnp.array([end_i, unk_i])].set(NEG_INF)
 
     tokens0 = jnp.full((b, S + 2), pad_i, jnp.int32).at[:, 0].set(start_i)
+    alphas0 = jnp.zeros((b, S + 1, L), jnp.float32)
 
     def step_fn(carry, t):
-        tokens, scores, finished, flen, h, c = carry
+        tokens, scores, finished, flen, h, c, alphas = carry
         prev_words = jax.lax.dynamic_index_in_dim(tokens, t, axis=1, keepdims=False)
         prev_embed = embed_tokens(params, prev_words, cfg)
         logits, h, c, alpha = step_compute(prev_embed, h, c)
@@ -361,19 +377,35 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
                     - jax.scipy.special.logsumexp(scaled, axis=-1))
         token = jnp.where(finished, pad_i, token)
         scores = jnp.where(finished, scores, scores + tok_logp)
+        # finished rows freeze their alpha buffer too (exactness vs the
+        # reference, which stops computing retired rows entirely)
+        alphas = jax.lax.dynamic_update_index_in_dim(
+            alphas, jnp.where(finished[:, None], 0.0,
+                              alpha.astype(jnp.float32)), t, axis=1)
         newly = jnp.logical_and(~finished, token == end_i)
         flen = jnp.where(newly, t, flen)
         finished = jnp.logical_or(finished, newly)
         tokens = jax.lax.dynamic_update_index_in_dim(tokens, token, t + 1, axis=1)
-        return (tokens, scores, finished, flen, h, c), alpha
+        return (tokens, scores, finished, flen, h, c, alphas)
 
-    (tokens, scores, finished, flen, _, _), alphas = jax.lax.scan(
-        step_fn, (tokens0, jnp.zeros((b,)), jnp.zeros((b,), bool),
-                  jnp.zeros((b,), jnp.int32), h, c),
-        jnp.arange(S + 1))
+    carry0 = (tokens0, jnp.zeros((b,)), jnp.zeros((b,), bool),
+              jnp.zeros((b,), jnp.int32), h, c, alphas0)
+    if early_exit:
+        def cond(state):
+            t, finished = state[0], state[1][2]
+            return jnp.logical_and(t <= S, ~jnp.all(finished))
+
+        def body(state):
+            t, carry = state
+            return (t + 1, step_fn(carry, t))
+
+        _, (tokens, scores, finished, flen, _, _, alphas) = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0))
+    else:
+        (tokens, scores, finished, flen, _, _, alphas), _ = jax.lax.scan(
+            lambda c, t: (step_fn(c, t), None), carry0, jnp.arange(S + 1))
     flen = jnp.where(finished, flen, S)
     lf = jnp.maximum(flen.astype(jnp.float32), 1.0)
-    alphas = jnp.moveaxis(alphas, 0, 1)  # (B, S+1, L)
     return BeamResult(tokens=tokens[:, None], lengths=flen[:, None],
                       raw_scores=scores[:, None], scores=(scores / lf)[:, None],
                       perplexity=jnp.exp(-scores / lf)[:, None],

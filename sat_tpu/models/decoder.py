@@ -122,16 +122,59 @@ def _dropout(x, rate, rng):
 
 
 def init_lstm_state(params: Dict, annotations: jax.Array, cfg: SATConfig,
-                    dropout_rng: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+                    dropout_rng: Optional[jax.Array] = None,
+                    batch_reshape: bool = False
+                    ) -> Tuple[jax.Array, jax.Array]:
     """Sec 3.1.2 init from mean annotations (reference: model.py:76-81).
 
-    annotations: (B, L, D) -> h, c each (layers, B, H)."""
+    annotations: (B, L, D) -> h, c each (layers, B, H).
+
+    batch_reshape=True replicates the reference's EXACT state layout
+    (model.py:79): a raw row-major ``reshape(2*layers, B, H)`` of the
+    (B, 2*layers*H) projection.  That is NOT a per-row transpose — for B > 1
+    it redistributes the projection output across batch rows, so row i's
+    initial state mixes its neighbors' projections.  Reference training ran
+    entirely under these semantics (its checkpoints adapted to them), so the
+    teacher-forced train path uses batch_reshape=True for parity (pinned by
+    tests/test_reference_oracle.py against model.py itself).
+
+    batch_reshape=False is the per-row split — what the reference's
+    PER-IMAGE inference loop effectively computes for a single row, and the
+    well-defined choice for any batched decode where rows are independent
+    images (greedy decode; beam search uses init_lstm_state_beams for the
+    per-image k-row variant)."""
     mean = annotations.mean(axis=1)
     mean = _dropout(mean, cfg.dropout, dropout_rng)
     init = _linear(params["init_proj"], _linear(params["init_factorize"], mean))
     b = mean.shape[0]
-    init = init.reshape(b, 2 * cfg.decoder_layers, cfg.decoder_dim)
-    init = jnp.moveaxis(init, 0, 1)  # (2*layers, B, H)
+    if batch_reshape:
+        init = init.reshape(2 * cfg.decoder_layers, b, cfg.decoder_dim)
+    else:
+        init = init.reshape(b, 2 * cfg.decoder_layers, cfg.decoder_dim)
+        init = jnp.moveaxis(init, 0, 1)  # (2*layers, B, H)
+    return init[: cfg.decoder_layers], init[cfg.decoder_layers:]
+
+
+def init_lstm_state_beams(params: Dict, annotations: jax.Array,
+                          cfg: SATConfig, beamk: int
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """Beam-expanded initial state, (layers, B, k, H).
+
+    The reference expands each image's annotations to ``beamk`` identical
+    rows and runs InitLSTM on that k-row batch (model.py:265-269); its raw
+    reshape (see init_lstm_state) then hands beam slot j the slice
+    ``g[((l*k + j) * H + h) mod 2*layers*H]`` of the image's projection
+    vector g — beam slots alternate between the h-half and c-half of g.
+    Replicated here with one tiny gather so imported reference checkpoints
+    decode bit-identically (pinned by tests/test_reference_oracle.py)."""
+    mean = annotations.mean(axis=1)
+    g = _linear(params["init_proj"], _linear(params["init_factorize"], mean))
+    L2, H, k = 2 * cfg.decoder_layers, cfg.decoder_dim, beamk
+    idx = (jnp.arange(L2)[:, None, None] * (k * H)
+           + jnp.arange(k)[None, :, None] * H
+           + jnp.arange(H)[None, None, :]) % (L2 * H)
+    init = g[:, idx]                      # (B, 2L, k, H)
+    init = jnp.moveaxis(init, 0, 1)       # (2L, B, k, H)
     return init[: cfg.decoder_layers], init[cfg.decoder_layers:]
 
 

@@ -53,8 +53,11 @@ def train_forward(params: Dict, cfg: SATConfig, annotations: jax.Array,
         train = False
     rng_init, rng_tf, rng_drop = jax.random.split(rng, 3)
 
+    # batch_reshape: the reference's exact (cross-row) init state layout —
+    # see init_lstm_state docstring
     h, c = init_lstm_state(params, annotations, cfg,
-                           rng_init if train and cfg.dropout > 0 else None)
+                           rng_init if train and cfg.dropout > 0 else None,
+                           batch_reshape=True)
     att_enc = attention_precompute(params, annotations)
 
     # Per-step scalar coin flips for scheduled sampling (model.py:518)
@@ -121,7 +124,8 @@ def train_forward_loss(params: Dict, cfg: SATConfig, annotations: jax.Array,
     rng_init, rng_tf, rng_drop = jax.random.split(rng, 3)
 
     h, c = init_lstm_state(params, annotations, cfg,
-                           rng_init if train and cfg.dropout > 0 else None)
+                           rng_init if train and cfg.dropout > 0 else None,
+                           batch_reshape=True)
     att_enc = attention_precompute(params, annotations)
     coins = jax.random.uniform(rng_tf, (num_steps,)) <= epsilon
     drop_rngs = jax.random.split(rng_drop, num_steps)
@@ -165,6 +169,128 @@ def train_forward_loss(params: Dict, cfg: SATConfig, annotations: jax.Array,
     ce = ce_sums.sum() / n_valid
     acc = corrects.sum() / n_valid
     alpha_total = alpha_steps.sum(axis=0)                          # (N, L)
+    att = jnp.mean((1.0 - alpha_total) ** 2)
+    loss = ce + cfg.att_gamma * att
+    return {"loss": loss, "ce_loss": ce, "att_loss": att, "accuracy": acc}
+
+
+def train_forward_loss_grouped(params: Dict, cfg: SATConfig,
+                               annotations: jax.Array,
+                               encoded_captions: jax.Array,
+                               lengths: jax.Array,
+                               epsilon: jax.Array,
+                               rng: Optional[jax.Array] = None,
+                               train: bool = True) -> Dict[str, jax.Array]:
+    """train_forward_loss with the reference-caption dim kept GROUPED.
+
+    annotations: (B, L, D) — NOT repeated; encoded_captions: (B, R, T);
+    lengths: (B, R).  Numerically equivalent to repeat_annotations +
+    flatten_caption_batch + train_forward_loss (pinned by
+    tests/test_decoder_core.py), but the scan's attention reads each image's
+    annotations and W_e·a ONCE per step instead of R times:
+
+        zt = einsum('brl,bld->brd', alpha, annotations)
+
+    At production shapes the repeated-annotation stream is the HBM bound of
+    the whole training step (b256 x 5 refs -> 1280 x L x D loads per scan
+    step, forward AND in the remat backward), which made throughput FALL
+    with batch size (EXPERIMENTS.md "Training step"; VERDICT r1 #5).  The
+    R-fold traffic cut applies to the two largest tensors in the loop."""
+    b, r, total_t = encoded_captions.shape
+    n = b * r
+    num_steps = total_t - 1
+    L = annotations.shape[1]
+    v = cfg.vocab_size
+    H = cfg.decoder_dim
+    confidence = 1.0 - cfg.label_smoothing
+    targets = encoded_captions[:, :, 1:]
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+        train = False
+    rng_init, rng_tf, rng_drop = jax.random.split(rng, 3)
+
+    # Reference-parity init (init_lstm_state batch_reshape semantics over the
+    # N = B*R repeated rows): the projection input rows repeat per image, so
+    # repeat the cheap (B, D) mean instead of the (B, L, D) annotations.
+    mean = jnp.repeat(annotations.mean(axis=1), r, axis=0)        # (N, D)
+    mean = _dropout(mean, cfg.dropout,
+                    rng_init if train and cfg.dropout > 0 else None)
+    from .decoder import _linear
+    g = _linear(params["init_proj"], _linear(params["init_factorize"], mean))
+    init = g.reshape(2 * cfg.decoder_layers, n, H)
+    h, c = init[: cfg.decoder_layers], init[cfg.decoder_layers:]
+
+    att_enc = attention_precompute(params, annotations)           # (B, L, A)
+    coins = jax.random.uniform(rng_tf, (num_steps,)) <= epsilon
+    drop_rngs = jax.random.split(rng_drop, num_steps)
+
+    from .decoder import beta_gate, deep_output
+
+    def step_fn(carry, xs):
+        h, c, prev_pred = carry                   # h, c: (layers, N, H)
+        t, coin, drop_rng = xs
+        use_gt = jnp.logical_or(t <= 2, coin)
+        gt_words = jax.lax.dynamic_index_in_dim(encoded_captions, t, axis=2,
+                                                keepdims=False)   # (B, R)
+        prev_words = jnp.where(use_gt, gt_words, prev_pred)
+
+        prev_embed = embed_tokens(params, prev_words, cfg)        # (B, R, E)
+        if train and cfg.embedding_dropout > 0:
+            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, drop_rng)
+
+        # grouped soft attention (same math as decoder.soft_attention, with
+        # annotations/att_enc broadcast over the ref dim instead of repeated)
+        hidden = h[-1].reshape(b, r, H)
+        att_dec = _linear(params["att_dec"], hidden)              # (B, R, A)
+        att = _linear(params["f_att"],
+                      jnp.tanh(att_enc[:, None] + att_dec[:, :, None]))
+        att = att[..., 0] * (L ** -0.5)                           # (B, R, L)
+        alpha = jax.nn.softmax(att.astype(jnp.float32), axis=-1).astype(att.dtype)
+        zt = jnp.einsum("brl,bld->brd", alpha, annotations)       # (B, R, D)
+
+        beta = beta_gate(params, h[-1])                           # (N, D)
+        x = jnp.concatenate([prev_embed.reshape(n, -1),
+                             beta * zt.reshape(n, -1)], axis=-1)
+        from ..ops.lstm import lstm_stack_step
+        h, c = lstm_stack_step(x, h, c, params["lstm"])
+        logits = deep_output(params, cfg, prev_embed.reshape(n, -1), h[-1],
+                             zt.reshape(n, -1),
+                             drop_rng if train and cfg.dropout > 0 else None)
+        logits = logits.astype(jnp.float32)                       # (N, V)
+
+        active = (lengths > t).astype(jnp.float32)                # (B, R)
+        tgt = jax.lax.dynamic_index_in_dim(targets, t, axis=2,
+                                           keepdims=False)        # (B, R)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logprobs, tgt.reshape(n)[:, None],
+                                   axis=1)[:, 0]
+        smooth = -jnp.mean(logprobs, axis=-1)
+        per_pos = (confidence * nll + cfg.label_smoothing * smooth
+                   ).reshape(b, r)
+        pred = jnp.argmax(logits, axis=-1).astype(prev_words.dtype
+                                                  ).reshape(b, r)
+
+        ce_sum = jnp.sum(per_pos * active)
+        correct = jnp.sum((pred == tgt).astype(jnp.float32) * active)
+        alpha_step = alpha.astype(jnp.float32) * active[:, :, None]
+        return (h, c, pred), (ce_sum, correct, jnp.sum(active), alpha_step)
+
+    ts = jnp.arange(num_steps)
+    # full remat: no-remat measures 6.0k vs 10.0k imgs/s at b256 (the saved
+    # step intermediates blow the HBM working set — EXPERIMENTS.md r2 sweep)
+    step_fn = jax.checkpoint(step_fn)
+    # unroll=2: halves scan-iteration overhead and fuses adjacent steps'
+    # weight-grad accumulations; measured b256 9.5k -> 10.0k imgs/s on v5e
+    # (unroll=4: 9.5k, unroll=8: 9.6k — 2 is the knee)
+    init_pred = jnp.zeros((b, r), encoded_captions.dtype)
+    (_, _, _), (ce_sums, corrects, actives, alpha_steps) = jax.lax.scan(
+        step_fn, (h, c, init_pred), (ts, coins, drop_rngs), unroll=2)
+
+    n_valid = jnp.maximum(actives.sum(), 1.0)
+    ce = ce_sums.sum() / n_valid
+    acc = corrects.sum() / n_valid
+    alpha_total = alpha_steps.sum(axis=0)                         # (B, R, L)
     att = jnp.mean((1.0 - alpha_total) ** 2)
     loss = ce + cfg.att_gamma * att
     return {"loss": loss, "ce_loss": ce, "att_loss": att, "accuracy": acc}

@@ -72,15 +72,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def _put(x: Any, sh: NamedSharding) -> jax.Array:
+def _put(x: Any, sh: NamedSharding, full: bool = False) -> jax.Array:
     """device_put that also works when the mesh spans multiple processes.
 
-    Multi-host (DCN) placement goes through make_array_from_process_local_data:
-    each process contributes the rows its own devices hold (or the full array
-    for replicated/param leaves — it slices as needed)."""
+    Multi-host (DCN) placement goes through make_array_from_process_local_data.
+    `full=True` means every process passes the ENTIRE array (param/opt-state
+    leaves): global_shape is then stated explicitly so the API slices each
+    process's shard out of it — without it the global shape is inferred by
+    scaling the local shape along process-spanning sharded dims, which would
+    inflate a vocab-TP table whose model axis crosses hosts (ADVICE r1,
+    medium).  `full=False` (batch leaves) keeps shape inference: each process
+    supplies only its own rows."""
     if jax.process_count() > 1:
+        host = np.asarray(jax.device_get(x))
         return jax.make_array_from_process_local_data(
-            sh, np.asarray(jax.device_get(x)))
+            sh, host, global_shape=host.shape if full else None)
     return jax.device_put(x, sh)
 
 
@@ -107,7 +113,7 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: _put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sh, full=True), tree)
 
 
 # ---------------------------------------------------------------------------
@@ -172,4 +178,5 @@ def place_tree(tree: Any, mesh: Mesh) -> Any:
     """Put a params/opt-state pytree on the mesh under `tree_shardings`.
     Drop-in upgrade of `replicate_tree` that activates vocab-dim TP when the
     mesh carries a "model" axis."""
-    return jax.tree_util.tree_map(_put, tree, tree_shardings(tree, mesh))
+    return jax.tree_util.tree_map(lambda x, sh: _put(x, sh, full=True),
+                                  tree, tree_shardings(tree, mesh))

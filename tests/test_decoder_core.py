@@ -162,6 +162,35 @@ def test_train_forward_shapes_and_masking():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.parametrize("epsilon", [1.0, 0.0])
+def test_grouped_loss_equals_flat_loss(epsilon):
+    """train_forward_loss_grouped (annotations (B,L,D), captions (B,R,T) —
+    the production train step) must equal repeat+flatten+train_forward_loss,
+    including with argmax feedback (epsilon=0) and multi-image batches where
+    the reference-parity init reshape mixes rows."""
+    from sat_tpu.models.sat import (train_forward_loss,
+                                    train_forward_loss_grouped)
+    cfg = small_cfg(label_smoothing=0.1, att_gamma=1.0)
+    params = D.init_decoder_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(3)
+    b, r, total_t, L = 3, 5, 9, 6
+    annots = jnp.array(rng.normal(size=(b, L, cfg.encoder_dim))
+                       .astype(np.float32))
+    caps = rng.integers(1, cfg.vocab_size, size=(b, r, total_t)).astype(np.int32)
+    lens = rng.integers(2, total_t - 1, size=(b, r)).astype(np.int32)
+
+    flat = train_forward_loss(
+        params, cfg, repeat_annotations(annots, r),
+        jnp.asarray(caps.reshape(b * r, total_t)),
+        jnp.asarray(lens.reshape(b * r)), jnp.asarray(epsilon),
+        rng=jax.random.PRNGKey(7), train=False)
+    grouped = train_forward_loss_grouped(
+        params, cfg, annots, jnp.asarray(caps), jnp.asarray(lens),
+        jnp.asarray(epsilon), rng=jax.random.PRNGKey(7), train=False)
+    for k in ("loss", "ce_loss", "att_loss", "accuracy"):
+        assert abs(float(flat[k]) - float(grouped[k])) < 1e-5, k
+
+
 def test_teacher_forcing_feedback_changes_outputs():
     """epsilon=0 must route argmax feedback after step 2 (model.py:518-523)."""
     cfg = small_cfg()

@@ -133,3 +133,17 @@ def test_build_glove_matrix(tmp_path):
 
     mat2, dim2 = build_glove_matrix(vocab, str(gp), 10, extend_dim=False)
     assert dim2 == 10 and mat2.shape == (7, 10)
+
+
+def test_inspect_montage(tmp_path):
+    """--inspect_images writes a caption-annotated montage (preprocess.ipynb
+    cell 18's visual half; VERDICT r1 #8)."""
+    from PIL import Image
+    from sat_tpu.data.preprocess import inspect_dataset, make_synthetic_dataset
+    json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=4,
+                                       n_val=2, n_test=2, image_size=32,
+                                       max_cap_length=6)
+    out = str(tmp_path / "viz")
+    inspect_dataset(json_path, n=3, image_dir=out)
+    img = Image.open(f"{out}/inspect.jpg")
+    assert img.size == (256, 3 * (256 + 24))

@@ -61,6 +61,55 @@ def test_resume_restores_scheduler_state(tmp_path):
     assert abs(lr_resumed - lr_before) < 1e-12
 
 
+def test_resume_from_restart_checkpoint_is_bit_exact(tmp_path):
+    """Resume from a checkpoint WRITTEN BY RestartCheckpointManager (not one
+    hand-saved by the test) and land bitwise on the uninterrupted run.
+
+    Regression (ADVICE r1, high): the restart snapshot used to store the
+    pre-increment step while params already included that step's update, so
+    resume replayed the batch and double-applied its gradient."""
+    import glob
+    import numpy as np
+    import jax
+    json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=16,
+                                       n_val=8, image_size=32,
+                                       max_cap_length=6)
+    # spe=2, 4 epochs -> 8 steps; cosine t0-adjust gives t_i=3: LR rises
+    # (warm restart) mid-run, triggering real restart-{step}.ckpt saves
+    cfg = SATConfig(json=json_path, batch=8, epochs=4, input_size=32,
+                    encoder_arch="shufflenet_v2_x0_5", encoder_dim=16,
+                    embed_dim=8, attention_dim=8, decoder_dim=16,
+                    decoder_tf="linear", decoder_tf_min=0.3, val_interval=100,
+                    seed=5, aug_scale=0.8, aug_hflip=0.5, aug_noise_std=0.01,
+                    scheduler="cosine", cosine_iterations=2,
+                    lr_warmup_steps=0)
+
+    straight = Trainer(cfg, log_root=str(tmp_path / "l_straight"))
+    straight.fit()
+    restarts = sorted(glob.glob(os.path.join(straight.logdir,
+                                             "restart-*.ckpt")))
+    assert restarts, "cosine warm restart never saved a restart checkpoint"
+    ckpt = restarts[0]
+    # the stored step must be the post-update step (next-to-run), and the
+    # file name must agree with it
+    from sat_tpu.train.checkpoints import load_checkpoint
+    _, raw = load_checkpoint(ckpt)
+    step_in_file = int(raw["step"])
+    assert ckpt.endswith(f"restart-{step_in_file}.ckpt")
+    assert 0 < step_in_file < straight.global_step
+
+    resumed = Trainer(cfg.replace(resume=ckpt),
+                      log_root=str(tmp_path / "l_resumed"))
+    assert resumed.global_step == step_in_file
+    resumed.fit()
+    assert resumed.global_step == straight.global_step
+    a = jax.device_get(straight.variables["params"])
+    b = jax.device_get(resumed.variables["params"])
+    for pa, pb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
 @pytest.mark.parametrize("bucket,workers,mid_epoch", [
     (False, 0, False),   # plain shuffle, epoch-boundary interrupt
     (True, 2, False),    # bucket sampler + threaded prefetch

@@ -1,0 +1,179 @@
+"""COCO-scale realistic training soak (VERDICT r1 next-round item #6).
+
+Generates a reference-shaped dataset — N 640x480 JPEGs (quality 85, the COCO
+file shape the native libjpeg pipeline targets) with 5 reference captions per
+image over a production-size vocabulary — then runs the REAL Trainer for
+multiple epochs on the attached TPU: bucketed bf16 training with per-epoch
+beam validation, a mid-soak checkpoint/resume exercise, and a steady-state
+imgs/s + epoch-time + recompile-count report (the analogue of the reference's
+32k-image x 90-epoch runs, dev/presentation.txt:122-128).
+
+Usage (from the repo root):
+    python tools/soak.py --n 16384 --epochs 10 [--batch 64] [--out /tmp/soak]
+
+Appends a markdown results table to stdout; paste into EXPERIMENTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_soak_dataset(out_dir: str, n_train: int, n_val: int, vocab_words: int,
+                      seed: int = 0, width: int = 640, height: int = 480,
+                      max_cap_length: int = 26) -> str:
+    """N JPEGs + reference-schema JSON.  Images are gradient+noise (so JPEG
+    entropy is COCO-like, not white-noise worst-case); captions are
+    length-distributed like COCO's (6..max words)."""
+    from PIL import Image
+    from sat_tpu.vocab import Vocab
+    from collections import Counter
+
+    rng = random.Random(seed)
+    nprng = np.random.default_rng(seed)
+    img_dir = os.path.join(out_dir, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+
+    words = [f"word{i:04d}" for i in range(vocab_words)]
+    vocab = Vocab.build(Counter({w: 100 for w in words}), min_count=1,
+                        max_vocab=None)
+    # zipf-ish draw so batches have realistic repeated-token structure
+    probs = 1.0 / (np.arange(1, vocab_words + 1) ** 0.8)
+    probs /= probs.sum()
+
+    yy, xx = np.mgrid[0:height, 0:width]
+
+    def write_image(path, i):
+        base = (np.stack([(xx * (i % 7 + 1)) % 256, (yy * (i % 5 + 1)) % 256,
+                          ((xx + yy) * (i % 3 + 1)) % 256], -1)
+                .astype(np.float32))
+        noise = nprng.normal(0, 18, size=(height, width, 3))
+        arr = np.clip(base + noise, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(path, quality=85)
+
+    def make_split(n, tag):
+        img_paths, caps, lens = [], [], []
+        t0 = time.time()
+        for i in range(n):
+            path = os.path.join(img_dir, f"{tag}_{i}.jpg")
+            if not os.path.exists(path):
+                write_image(path, i)
+            img_paths.append(path)
+            ic, il = [], []
+            for _ in range(5):
+                n_words = min(rng.randint(6, max_cap_length), max_cap_length)
+                toks = [words[j] for j in
+                        nprng.choice(vocab_words, n_words, p=probs)]
+                ic.append(vocab.encode(toks, max_cap_length))
+                il.append(n_words + 1)
+            caps.append(ic)
+            lens.append(il)
+            if i and i % 4096 == 0:
+                print(f"  {tag}: {i}/{n} images ({i/(time.time()-t0):.0f}/s)",
+                      file=sys.stderr)
+        return {"samples": n, "img_paths": img_paths,
+                "encoded_captions": caps, "lengths": lens}
+
+    output = {"vocab_stoi": vocab.stoi_map, "vocab_size": vocab.size,
+              "embed_dim": None, "pretrained_embedding": None, "min_count": 1,
+              "max_cap_length": max_cap_length,
+              "train": make_split(n_train, "train"),
+              "val": make_split(n_val, "val"),
+              "test": make_split(max(n_val // 2, 8), "test")}
+    path = os.path.join(out_dir, "soak.json")
+    json.dump(output, open(path, "w"))
+    return path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", default=16384, type=int)
+    p.add_argument("--n_val", default=512, type=int)
+    p.add_argument("--vocab", default=4096, type=int)
+    p.add_argument("--epochs", default=10, type=int)
+    p.add_argument("--batch", default=64, type=int)
+    p.add_argument("--arch", default="shufflenet_v2_x0_5")
+    p.add_argument("--out", default="/tmp/sat_soak")
+    p.add_argument("--workers", default=2, type=int)
+    p.add_argument("--resume_at", default=5, type=int,
+                   help="epoch after which to checkpoint + rebuild the "
+                        "Trainer from the checkpoint (mid-soak resume drill)")
+    a = p.parse_args(argv)
+
+    t0 = time.time()
+    json_path = os.path.join(a.out, "soak.json")
+    if not os.path.exists(json_path):
+        print(f"generating {a.n}+{a.n_val} 640x480 JPEGs ...", file=sys.stderr)
+        json_path = make_soak_dataset(a.out, a.n, a.n_val, a.vocab)
+    print(f"dataset ready in {time.time()-t0:.0f}s", file=sys.stderr)
+
+    from sat_tpu.config import SATConfig
+    from sat_tpu.train.loop import Trainer
+
+    cfg = SATConfig(
+        json=json_path, name="soak", batch=a.batch, epochs=a.epochs,
+        precision=16, encoder_arch=a.arch, input_size=224,
+        embed_dim=256, attention_dim=128, decoder_dim=512, deep_output=True,
+        decoder_tf="inv_sigmoid", decoder_tf_min=0.75, label_smoothing=0.1,
+        bucket_sampler=True, workers=a.workers,
+        encoder_finetune_after=0, encoder_lr=1e-4,
+        scheduler="plateau", plateau_monitor="bleu4",
+        val_interval=1, val_percent=0.25, val_beamk=3, val_max_len=20,
+        val_early_exit=True, clip_value=5.0, grad_clip="norm", seed=0)
+
+    rows = []
+    trainer = Trainer(cfg, log_root=os.path.join(a.out, "logs"))
+    spe = len(trainer.train_loader)
+    print(f"steps/epoch={spe} val_batches={len(trainer.val_loader)}",
+          file=sys.stderr)
+    for epoch in range(a.epochs):
+        trainer.current_epoch = epoch
+        te0 = time.time()
+        means = trainer.train_epoch()
+        t_train = time.time() - te0
+        tv0 = time.time()
+        val = trainer.validate()
+        t_val = time.time() - tv0
+        rate = a.n / t_train
+        rows.append((epoch, t_train, t_val, rate,
+                     means.get("loss", float("nan")),
+                     val.get("bleu4", float("nan"))))
+        print(f"epoch {epoch}: train {t_train:.1f}s ({rate:.0f} imgs/s) "
+              f"val {t_val:.1f}s loss={means.get('loss', 0):.3f} "
+              f"bleu4={val.get('bleu4', 0):.4f}", file=sys.stderr)
+        if epoch + 1 == a.resume_at and epoch + 1 < a.epochs:
+            # mid-soak operational resume: full checkpoint -> fresh Trainer
+            from sat_tpu.train.checkpoints import save_checkpoint
+            ck = os.path.join(a.out, "mid_soak.ckpt")
+            cs0 = time.time()
+            save_checkpoint(ck, trainer.cfg, trainer._checkpoint_tree())
+            print(f"  checkpoint ({os.path.getsize(ck)/1e6:.0f} MB) "
+                  f"in {time.time()-cs0:.1f}s; rebuilding Trainer",
+                  file=sys.stderr)
+            rs0 = time.time()
+            trainer = Trainer(cfg.replace(resume=ck),
+                              log_root=os.path.join(a.out, "logs"))
+            print(f"  resume ready in {time.time()-rs0:.1f}s "
+                  f"(step={trainer.global_step})", file=sys.stderr)
+
+    print("\n| epoch | train s | val s | imgs/s | loss | bleu4 |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r[0]} | {r[1]:.1f} | {r[2]:.1f} | {r[3]:.0f} "
+              f"| {r[4]:.3f} | {r[5]:.4f} |")
+    steady = np.median([r[3] for r in rows[2:]]) if len(rows) > 2 else rows[-1][3]
+    print(f"\nsteady-state: {steady:.0f} imgs/s "
+          f"(first epoch {rows[0][3]:.0f} — compile+cache warmup)")
+
+
+if __name__ == "__main__":
+    main()
