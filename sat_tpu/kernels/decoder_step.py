@@ -153,7 +153,9 @@ def fused_decoder_step(fw: FusedWeights, cfg: SATConfig, prev_embed: jax.Array,
         per_row = (L * (d + a) + 2 * d + 4 * hd * 2 + e) * 4  # f32 intermediates
         tile_n = int(max(8, min(128, budget // max(per_row, 1))))
         tile_n = 1 << (tile_n.bit_length() - 1)  # floor to power of two
-    tile_n = min(tile_n, n)
+    # floor of 8 sublanes: 1-row tiles fail Mosaic relayout (see
+    # greedy_loop.py); n < 8 pads up to one 8-row tile
+    tile_n = min(tile_n, max(n, 8))
     pad = (-n) % tile_n
     if pad:
         z = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))

@@ -193,7 +193,11 @@ def greedy_loop_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
                                           np.dtype(dt).itemsize)
                < 13 * 1024 * 1024):
             tile_b *= 2
-    tile_b = min(tile_b, b)
+    # never drop below 8 sublanes: a tile of 1 row makes Mosaic's relayout of
+    # the (tile, L) softmax vectors fail ("non-singleton logical dimension is
+    # replicated in destination but not in source"); b < 8 pads UP to one
+    # 8-row tile instead
+    tile_b = min(tile_b, max(b, 8))
     pad = (-b) % tile_b
     if pad:
         z = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
