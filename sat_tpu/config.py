@@ -134,6 +134,9 @@ class SATConfig:
     # -- resume + profiling (reference: save_last=True resume-by-hand, train.py:187)
     resume: Optional[str] = None               # checkpoint path to resume from
     profile_dir: Optional[str] = None          # jax.profiler trace output dir
+    log_every: int = 16   # steps per buffered metric fetch (1 = per-step);
+    # every step's scalars are still logged with their own step number —
+    # this only batches the device->host round-trips
 
     # -- Data-derived fields (reference: train.py:238-242, 250; model.py:56)
     vocab_stoi: Optional[Dict[str, int]] = None
@@ -281,6 +284,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "tensor parallelism on the second axis")
     p.add_argument("--resume", default=None, type=str,
                    help="checkpoint path to resume training from")
+    p.add_argument("--log_every", default=d.log_every, type=int,
+                   help="steps per buffered metric fetch (1 = per-step sync)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="write a jax.profiler trace of the first epoch here")
     return p
