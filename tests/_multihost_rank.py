@@ -64,11 +64,36 @@ def main():
         emb_back, np.asarray(host_vars["params"]["decoder"]["embedding"])), \
         "fetch_global did not reassemble the sharded embedding bit-exactly"
 
+    # ---- vocab-TP with the MODEL axis spanning hosts: mesh (1, 8) puts the
+    # embedding/out_proj row/column shards across BOTH processes.  Regression
+    # for the place_tree global_shape fix (ADVICE r1, medium): each process
+    # passes the FULL table to make_array_from_process_local_data; without an
+    # explicit global_shape the inferred global is inflated by the process
+    # count and the tables mis-assemble (the (4,2) phase above can't see it —
+    # its model shards are process-local).
+    mesh_xh = create_mesh((1, 8), ("data", "model"), jax.devices())
+    vars_xh = place_tree(host_vars, mesh_xh)
+    emb_xh = vars_xh["params"]["decoder"]["embedding"]
+    assert emb_xh.shape == host_vars["params"]["decoder"]["embedding"].shape, \
+        f"global shape inflated: {emb_xh.shape}"
+    assert not emb_xh.is_fully_addressable
+    dbatch_xh = shard_batch(local, mesh_xh)
+    grads_xh, loss_xh = jax.jit(train_step)(vars_xh, dbatch_xh,
+                                            jax.random.PRNGKey(7))
+    gsum_xh = float(sum(np.abs(np.asarray(fetch_global(g))).sum()
+                        for g in jax.tree_util.tree_leaves(grads_xh)))
+    emb_back_xh = np.asarray(fetch_global(emb_xh))
+    assert np.array_equal(
+        emb_back_xh, np.asarray(host_vars["params"]["decoder"]["embedding"])), \
+        "cross-host model-axis shard did not reassemble bit-exactly"
+
     with open(out_path, "w") as f:
         json.dump({"rank": rank, "loss": float(jax.device_get(loss)),
                    "gsum": gsum,
                    "loss_tp": float(jax.device_get(loss_tp)),
-                   "gsum_tp": gsum_tp}, f)
+                   "gsum_tp": gsum_tp,
+                   "loss_xh": float(jax.device_get(loss_xh)),
+                   "gsum_xh": gsum_xh}, f)
     print(f"rank{rank} done loss={float(jax.device_get(loss)):.6f}", flush=True)
 
 

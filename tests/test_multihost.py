@@ -94,6 +94,11 @@ def test_two_process_dcn_matches_single_process(tmp_path):
     for r in results:
         assert abs(r["loss_tp"] - r["loss"]) < 1e-5
         assert abs(r["gsum_tp"] - r["gsum"]) < 5e-4 * (1 + r["gsum"])
+        # model axis ACROSS hosts (mesh (1,8)): the place_tree global_shape
+        # regression (ADVICE r1 medium) — in-script asserts checked the
+        # table shapes and bit-exact reassembly; here the step must agree
+        assert abs(r["loss_xh"] - r["loss"]) < 1e-5
+        assert abs(r["gsum_xh"] - r["gsum"]) < 5e-4 * (1 + r["gsum"])
 
     # reference: the same step single-process on this pytest's 8 CPU devices
     sys.path.insert(0, HERE)

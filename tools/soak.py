@@ -107,13 +107,30 @@ def main(argv=None):
     p.add_argument("--resume_at", default=5, type=int,
                    help="epoch after which to checkpoint + rebuild the "
                         "Trainer from the checkpoint (mid-soak resume drill)")
+    p.add_argument("--learnable", action="store_true",
+                   help="use the SOLVABLE color-caption task instead of "
+                        "random captions: same production model config, but "
+                        "BLEU-4 must converge toward 1.0 — the at-scale "
+                        "quality-evidence run")
     a = p.parse_args(argv)
 
     t0 = time.time()
-    json_path = os.path.join(a.out, "soak.json")
-    if not os.path.exists(json_path):
-        print(f"generating {a.n}+{a.n_val} 640x480 JPEGs ...", file=sys.stderr)
-        json_path = make_soak_dataset(a.out, a.n, a.n_val, a.vocab)
+    if a.learnable:
+        from sat_tpu.data.preprocess import make_learnable_dataset
+        json_path = os.path.join(a.out, "colors.json")
+        if not os.path.exists(json_path):
+            print(f"generating {a.n} learnable 224px images ...",
+                  file=sys.stderr)
+            json_path = make_learnable_dataset(
+                a.out, n_train=a.n, n_val=a.n_val,
+                n_test=max(a.n_val // 2, 8), image_size=224,
+                json_name="colors")
+    else:
+        json_path = os.path.join(a.out, "soak.json")
+        if not os.path.exists(json_path):
+            print(f"generating {a.n}+{a.n_val} 640x480 JPEGs ...",
+                  file=sys.stderr)
+            json_path = make_soak_dataset(a.out, a.n, a.n_val, a.vocab)
     print(f"dataset ready in {time.time()-t0:.0f}s", file=sys.stderr)
 
     from sat_tpu.config import SATConfig
