@@ -216,12 +216,16 @@ def _finite(x):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    # flagship: BASELINE.json config 1's encoder; also the fastest measured
-    # (94k imgs/s vs shufflenet_v2_x0_5's 70k on v5e)
-    p.add_argument("--arch", default="mobilenet_v3_small")
-    p.add_argument("--encoder_dim", default=None, type=int,
+    # flagship: the reference's own best-BLEU encoder (shufflenet_v2_x0_5,
+    # dev/experiments.txt v124) + its 1x1 encoder_dim projection trick
+    # (readme.md:197).  Same-window sweep (r2): shufflenet D=1024 native is
+    # decode-bound at 50.8k imgs/s; projecting to 128 frees its fast encoder
+    # -> 98-117k, beating mobilenet_v3_small's 82.9k (EXPERIMENTS.md).
+    p.add_argument("--arch", default="shufflenet_v2_x0_5")
+    p.add_argument("--encoder_dim", default=128, type=int,
                    help="1x1 projection dim (the reference's -14%% step-time "
-                        "trick, readme.md:197)")
+                        "trick, readme.md:197); pass 0 for the backbone's "
+                        "native dim")
     p.add_argument("--input_size", default=224, type=int)
     p.add_argument("--vocab_size", default=4096, type=int)
     p.add_argument("--max_gen_length", default=16, type=int)
@@ -246,6 +250,8 @@ def main(argv=None):
     p.add_argument("--frozen_encoder", action="store_true",
                    help="with --train: freeze the encoder (no encoder bwd)")
     args = p.parse_args(argv)
+    if args.encoder_dim is not None and args.encoder_dim <= 0:
+        args.encoder_dim = None  # 0 = backbone-native annotation dim
 
     if args.train:
         batches = args.batches or ([32] if args.quick else [64, 128, 256])
@@ -274,6 +280,7 @@ def main(argv=None):
             "vs_baseline": round(best / 80.0, 3),
             "spread": _finite(best_spread),
             "config": {"arch": args.arch, "batch": best_b,
+                       "encoder_dim": args.encoder_dim,
                        "input_size": args.input_size,
                        "precision": args.precision, "vocab": args.vocab_size,
                        "encoder_finetune": not args.frozen_encoder}}))
@@ -357,6 +364,7 @@ def main(argv=None):
         "vs_baseline": round(best / 5000.0, 3),
         "spread": _finite(best_spread),
         "config": {"arch": args.arch, "batch": best_b,
+                   "encoder_dim": args.encoder_dim,
                    "input_size": args.input_size,
                    "max_gen_length": args.max_gen_length,
                    "precision": args.precision, "vocab": args.vocab_size,
