@@ -212,7 +212,21 @@ def deep_output(params: Dict, cfg: SATConfig, prev_embed: jax.Array,
         x = _linear(params["out_hidden"], hidden)
     x = _dropout(x, cfg.dropout, dropout_rng)
     if cfg.weight_tying and cfg.deep_output:
-        return jnp.dot(x, params["embedding"].T, preferred_element_type=jnp.float32)
+        w = params["embedding"]
+        if cfg.embed_norm is not None:
+            # torch's nn.Embedding(max_norm=...) renormalizes accessed rows
+            # IN PLACE, so the reference's tied output projection
+            # (model.py:198-199) sees renormalized rows for every token that
+            # was ever embedded.  We apply the cap to ALL rows — the torch
+            # steady state once each token has been looked up at least once
+            # (true for any trained checkpoint); torch's pre-first-access
+            # transient is access-order-dependent mutable state and is not
+            # replicated (pinned vs the reference's own code in
+            # tests/test_reference_oracle.py, which drives the oracle to its
+            # steady state first).
+            norm = jnp.linalg.norm(w, axis=-1, keepdims=True)
+            w = w * jnp.minimum(1.0, cfg.embed_norm / jnp.maximum(norm, 1e-7))
+        return jnp.dot(x, w.T, preferred_element_type=jnp.float32)
     return _linear(params["out_proj"], x)
 
 

@@ -152,7 +152,8 @@ class FixedAnnotEncoder(torch.nn.Module):
 
 def make_pair(refmod, *, batch: int, decoder_layers: int = 1,
               deep_output: bool = True, weight_tying: bool = False,
-              label_smoothing: float = 0.1, seed: int = 0):
+              label_smoothing: float = 0.1, seed: int = 0,
+              embed_norm=None):
     """Returns (ref SAT in eval mode, sat_tpu cfg, sat_tpu decoder params,
     annots_torch (B,D,H,W), annots_jax (B,L,D))."""
     import jax.numpy as jnp
@@ -164,7 +165,7 @@ def make_pair(refmod, *, batch: int, decoder_layers: int = 1,
     annots_t = torch.randn(batch, ENC_D, GRID_H, GRID_W)
 
     hp = dict(vocab_size=V, vocab_stoi=stoi, vocab_itos=itos,
-              embed_dim=16, embed_norm=None, embedding_dropout=0.0,
+              embed_dim=16, embed_norm=embed_norm, embedding_dropout=0.0,
               pretrained_embedding=None, encoder_dim=ENC_D,
               attention_dim=20, decoder_dim=28,
               decoder_layers=decoder_layers, deep_output=deep_output,
@@ -178,11 +179,18 @@ def make_pair(refmod, *, batch: int, decoder_layers: int = 1,
     finally:
         refmod.get_encoder = orig_get_encoder
     sat.eval()
+    if embed_norm is not None:
+        # drive torch's in-place max_norm renormalization to its steady
+        # state (every row accessed once) BEFORE weights are exported: the
+        # pre-first-access transient is access-order-dependent mutable state
+        # that any trained checkpoint has already left behind
+        with torch.no_grad():
+            sat.embedding(torch.arange(V))
 
     cfg = SATConfig(vocab_size=V, vocab_stoi=stoi, embed_dim=16,
                     attention_dim=20, decoder_dim=28, encoder_dim=ENC_D,
                     decoder_layers=decoder_layers, deep_output=deep_output,
-                    weight_tying=weight_tying,
+                    weight_tying=weight_tying, embed_norm=embed_norm,
                     label_smoothing=label_smoothing, att_gamma=1.0,
                     dropout=0.0, embedding_dropout=0.0)
 
@@ -411,6 +419,70 @@ def test_multinomial_masking_invariants_match_reference(refmod):
 
     check(ref_caps, lambda c: list(c))
     check(caps, lambda c: list(c))
+
+
+@pytest.mark.parametrize("layers,tying,embed_norm", [
+    (2, False, None),     # multi-layer beam state gathers + layered init
+    (1, True, None),      # weight tying: logits through the embedding matrix
+    (1, False, 2.0),      # max_norm embedding renormalization
+    (1, True, 2.0),       # tying + max_norm: torch renormalizes the SHARED
+                          # matrix in place, so the tied out-projection sees
+                          # renormalized rows too
+])
+def test_beam_search_variants_match_reference(refmod, layers, tying,
+                                              embed_norm):
+    """Config-variant beam parity against the reference's own forward()."""
+    from sat_tpu.decode.api import caption_from_annotations
+
+    B, K, S = 2, 3, 10
+    sat, cfg, params, _, annots_j = make_pair(
+        refmod, batch=B, decoder_layers=layers, weight_tying=tying,
+        embed_norm=embed_norm, seed=61)
+    with torch.no_grad():
+        ref_caps, ref_scores, _, _ = sat.caption(
+            torch.zeros(B, 3, 8, 8), beamk=K, max_gen_length=S,
+            rescore_method="LN", return_all=True)
+    caps, scores, _, _ = caption_from_annotations(
+        params, cfg, annots_j, (GRID_H, GRID_W), beamk=K, max_gen_length=S,
+        rescore_method="LN", return_all=True)
+    for i in range(B):
+        for j in range(K):
+            assert caps[i][j] == list(ref_caps[i][j]), (i, j)
+            assert abs(scores[i][j] - ref_scores[i][j]) < (
+                1e-3 + 5e-4 * abs(ref_scores[i][j]))
+
+
+@pytest.mark.parametrize("tying,embed_norm", [
+    (True, None), (False, 2.0), (True, 2.0)])
+def test_train_batch_variants_match_reference(refmod, tying, embed_norm):
+    """Config-variant teacher-forced parity (loss + masked logits)."""
+    import jax
+    import jax.numpy as jnp
+    from sat_tpu.models.sat import train_forward, sat_loss
+
+    R, T = 5, 9
+    sat, cfg, params, _, annots_j = make_pair(
+        refmod, batch=1, weight_tying=tying, embed_norm=embed_norm, seed=71)
+    caps, lens = _captions(R, T, seed=13)
+    batch = (torch.zeros(1, 3, 8, 8), torch.from_numpy(caps).unsqueeze(0),
+             torch.from_numpy(lens).unsqueeze(0))
+    with torch.no_grad():
+        lp, tp, ref_alphas = sat.train_batch(batch, epsilon=1.0)
+        ref_loss = sat.criterion(lp.data, tp.data) + sat.hparams.att_gamma * (
+            (1 - ref_alphas.sum(dim=1)) ** 2).mean()
+        ref_logits, _ = torch.nn.utils.rnn.pad_packed_sequence(
+            lp, batch_first=True, total_length=T - 1)
+
+    logits, targets, alphas = train_forward(
+        params, cfg, jnp.repeat(annots_j, R, axis=0),
+        jnp.asarray(caps, jnp.int32), jnp.asarray(lens, jnp.int32),
+        jnp.asarray(1.0, jnp.float32), rng=jax.random.PRNGKey(0), train=False)
+    m = sat_loss(cfg, logits, targets, jnp.asarray(lens, jnp.int32), alphas)
+    mask = lens[:, None] > np.arange(T - 1)[None, :]
+    np.testing.assert_allclose(np.asarray(logits)[mask],
+                               ref_logits.numpy()[mask],
+                               atol=3e-4, rtol=2e-4)
+    assert abs(float(m["loss"]) - float(ref_loss)) < 2e-4
 
 
 # ---------------------------------------------------------------------------
