@@ -122,7 +122,8 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
 def bench_train_step(arch: str, input_size: int, vocab_size: int,
                      precision: int, batch: int, train_encoder: bool = True,
                      k_small: int = 2, k_large: int = 8, reps: int = 3,
-                     encoder_dim=None, max_cap_length: int = 20):
+                     encoder_dim=None, max_cap_length: int = 20,
+                     microbatch: int = 0):
     """Training-step throughput (imgs/s/chip): augmentation -> encoder ->
     teacher-forced decoder scan -> loss -> grads -> optax update, all in one
     jitted program, K steps data-chained through the evolving params (each
@@ -160,7 +161,7 @@ def bench_train_step(arch: str, input_size: int, vocab_size: int,
                     embed_dim=256, attention_dim=128, decoder_dim=512,
                     deep_output=True, precision=precision,
                     encoder_dim=encoder_dim, encoder_finetune_after=0,
-                    encoder_lr=1e-4, epochs=1)
+                    encoder_lr=1e-4, epochs=1, microbatch=microbatch)
     trainer = Trainer(cfg, dataset=ds, log_root="/tmp/bench_logs")
 
     images = jnp.asarray(rng.integers(0, 256, (batch, input_size, input_size, 3),
@@ -249,6 +250,10 @@ def main(argv=None):
                         "+update) instead of greedy captioning")
     p.add_argument("--frozen_encoder", action="store_true",
                    help="with --train: freeze the encoder (no encoder bwd)")
+    p.add_argument("--microbatch", default=0, type=int,
+                   help="with --train: in-step gradient chunking (scan over "
+                        "batch/microbatch chunks; bounds the HBM working set "
+                        "at the chunk size). 0 = off")
     args = p.parse_args(argv)
     if args.encoder_dim is not None and args.encoder_dim <= 0:
         args.encoder_dim = None  # 0 = backbone-native annotation dim
@@ -263,7 +268,8 @@ def main(argv=None):
                     args.precision, b,
                     train_encoder=not args.frozen_encoder,
                     reps=1 if args.quick else 3,
-                    encoder_dim=args.encoder_dim)
+                    encoder_dim=args.encoder_dim,
+                    microbatch=args.microbatch)
             except Exception as e:
                 print(f"# train batch {b} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
@@ -283,7 +289,8 @@ def main(argv=None):
                        "encoder_dim": args.encoder_dim,
                        "input_size": args.input_size,
                        "precision": args.precision, "vocab": args.vocab_size,
-                       "encoder_finetune": not args.frozen_encoder}}))
+                       "encoder_finetune": not args.frozen_encoder,
+                       "microbatch": args.microbatch}}))
         return
 
     # two sizes by default: each (batch, k) shape pays a pallas compile

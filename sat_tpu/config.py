@@ -66,6 +66,14 @@ class SATConfig:
     # -- General training (reference: train.py:68-73)
     batch: int = 1
     accumulate: int = 1
+    # In-step microbatching (TPU-only extension, no reference analogue):
+    # the jitted train step computes gradients by scanning over batch/microbatch
+    # chunks and summing, so the activation working set stays at the chunk
+    # size while the optimizer update (and host round-trip) still happens once
+    # per full batch.  Unlike --accumulate (optax.MultiSteps across steps),
+    # the loss weighting reproduces the FULL-batch loss exactly: CE chunks are
+    # weighted by their valid-token counts against the global total.  0 = off.
+    microbatch: int = 0
     epochs: int = 10
 
     # -- Optimizer (reference: train.py:75-98)
@@ -232,6 +240,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoder_tf_min", default=d.decoder_tf_min, type=float)
     p.add_argument("--batch", default=d.batch, type=int)
     p.add_argument("--accumulate", default=d.accumulate, type=int)
+    p.add_argument("--microbatch", default=d.microbatch, type=int,
+                   help="in-step gradient chunking: scan the jitted step over "
+                        "batch/microbatch chunks (bounds the HBM working set "
+                        "at the chunk size; loss ≡ full-batch). 0 = off")
     p.add_argument("--epochs", default=d.epochs, type=int)
     p.add_argument("--opt", default=d.opt, type=str, choices=["sgd", "adam", "adamw"])
     p.add_argument("--encoder_lr", default=d.encoder_lr, type=float)

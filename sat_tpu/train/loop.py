@@ -204,26 +204,94 @@ class Trainer:
             # needed on TPU (bf16 exponent == fp32)
             images = images.astype(jnp.bfloat16)
 
-        def loss_fn(params):
+        def loss_fn(params, images_c, caps_c, lens_c, bs, rng_c,
+                    ce_scale, att_scale):
             cparams = params
             if bf16_train:
                 cparams = jax.tree_util.tree_map(
                     lambda x: x.astype(jnp.bfloat16)
                     if x.dtype == jnp.float32 else x, params)
-            vars_in = {"params": cparams, "state": variables["state"]}
-            annots, new_bs = self.model.encode(vars_in, images, train=True)
+            vars_in = {"params": cparams, "state": {"batch_stats": bs}}
+            annots, new_bs = self.model.encode(vars_in, images_c, train=True)
             if not train_encoder:
                 annots = jax.lax.stop_gradient(annots)
             # grouped inline-loss scan: annotations stay (B, L, D) — never
             # repeated across the R reference captions and never
             # materializing (N, T, V) logits (the b256 HBM cliff fix)
             metrics = train_forward_loss_grouped(
-                cparams["decoder"], self.cfg, annots, caps, lens, epsilon,
-                rng_tf, train=True)
-            return metrics["loss"], (metrics, new_bs)
+                cparams["decoder"], self.cfg, annots, caps_c, lens_c, epsilon,
+                rng_c, train=True)
+            # ce_scale/att_scale re-weight a microbatch chunk's objective so
+            # the SUM over chunks reproduces the full-batch loss exactly
+            # (CE by valid-token share, att by 1/num_chunks); both are 1.0
+            # on the unchunked path, where this is metrics["loss"].
+            obj = (metrics["ce_loss"] * ce_scale
+                   + self.cfg.att_gamma * metrics["att_loss"] * att_scale)
+            return obj, (metrics, new_bs)
 
-        grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
-            variables["params"])
+        mb = self.cfg.microbatch
+        b_total = caps.shape[0]
+        bs0 = variables["state"]["batch_stats"]
+        if mb and 0 < mb < b_total and b_total % mb == 0:
+            # In-step microbatching: scan the grad computation over
+            # batch/microbatch chunks, summing gradients in fp32.  The
+            # activation working set (encoder feature maps + the remat
+            # decoder scan) stays at chunk size — at b256 the b64-chunk
+            # step recovers the b64 cache-residency throughput while the
+            # optimizer update and host round-trip still amortize over the
+            # full batch.  Loss ≡ full batch: CE chunks are weighted by
+            # n_valid_chunk / n_valid_total (the scan's own masked-token
+            # count), the doubly-stochastic att term by 1/num_chunks.
+            # BatchNorm normalizes per chunk (standard grad-accumulation
+            # semantics, same as optax.MultiSteps / the reference's
+            # Lightning accumulate_grad_batches).
+            nchunks = b_total // mb
+            num_steps = caps.shape[2] - 1
+            total_valid = jnp.maximum(
+                jnp.clip(lens, 0, num_steps).sum().astype(jnp.float32), 1.0)
+            chunk = lambda x: x.reshape((nchunks, mb) + x.shape[1:])
+            rngs = jax.random.split(rng_tf, nchunks)
+
+            def chunk_step(carry, xs):
+                grads_acc, bs = carry
+                images_c, caps_c, lens_c, rng_c = xs
+                n_valid_c = jnp.maximum(
+                    jnp.clip(lens_c, 0, num_steps).sum().astype(jnp.float32),
+                    1.0)
+                g, (m, new_bs) = jax.grad(loss_fn, has_aux=True)(
+                    variables["params"], images_c, caps_c, lens_c, bs, rng_c,
+                    n_valid_c / total_valid, 1.0 / nchunks)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                row = jnp.stack([m["ce_loss"] * n_valid_c,
+                                 m["accuracy"] * n_valid_c, m["att_loss"]])
+                return (grads_acc, new_bs), row
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like,
+                                           variables["params"])
+            xs = (chunk(images), chunk(caps), chunk(lens), rngs)
+            if nchunks <= 8:
+                # Python-unrolled: XLA sees the whole chain and can overlap
+                # chunk i's optimizer-side work with chunk i+1 (a lax.scan
+                # boundary blocks that); compile cost scales with nchunks so
+                # large counts fall back to the rolled loop
+                carry, out_rows = (zeros, bs0), []
+                for i in range(nchunks):
+                    carry, row = chunk_step(
+                        carry, jax.tree_util.tree_map(lambda x: x[i], xs))
+                    out_rows.append(row)
+                (grads, new_bs), rows = carry, jnp.stack(out_rows)
+            else:
+                (grads, new_bs), rows = jax.lax.scan(chunk_step, (zeros, bs0),
+                                                     xs)
+            ce = rows[:, 0].sum() / total_valid
+            acc = rows[:, 1].sum() / total_valid
+            att = rows[:, 2].mean()
+            metrics = {"loss": ce + self.cfg.att_gamma * att, "ce_loss": ce,
+                       "att_loss": att, "accuracy": acc}
+        else:
+            grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(
+                variables["params"], images, caps, lens, bs0, rng_tf,
+                jnp.float32(1.0), jnp.float32(1.0))
         updates, opt_state = self.tx.update(grads, opt_state,
                                             variables["params"])
         updates = apply_group_lrs(updates, self.labels, lrs)
