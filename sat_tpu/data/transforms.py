@@ -107,7 +107,11 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
     size = cfg.input_size
 
     def augment(rng: jax.Array, images: jax.Array) -> jax.Array:
-        x = images.astype(jnp.float32) / 255.0
+        # bf16 end-to-end when the train step is bf16: uint8 values 0..255 are
+        # exactly representable (8 mantissa bits), and every downstream pass
+        # (resample matmuls, color tail, encoder) moves half the bytes
+        dt = jnp.bfloat16 if cfg.precision == 16 else jnp.float32
+        x = images.astype(dt) / jnp.asarray(255.0, dt)
         b = x.shape[0]
         (r_rrc, r_flip, r_cb, r_cc, r_cs, r_ch, r_opt, r_choice,
          r_noise) = jax.random.split(rng, 9)
@@ -145,8 +149,11 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
             gy, gx = affine_grid(theta, (size, size), (size, size))
             x = grid_sample_bilinear(x, gy, gx)
         else:
-            # axis-aligned crop+flip: SEPARABLE resampling (contiguous
-            # row/column gathers, ~40x faster than pointwise on TPU)
+            # axis-aligned crop+flip: SEPARABLE resampling as two batched
+            # matmuls on the MXU (bilinear weight matrices; the earlier
+            # gather formulation was ~36% of the whole b256 train step —
+            # see ops/image_ops.py::separable_resample_mxu).  bf16 multiplies
+            # when the train step is bf16 anyway; fp32 otherwise.
             if use_crop:
                 theta = _rrc_theta(r_rrc, b, cfg.aug_scale)
                 cw, tx = theta[:, 0, 0], theta[:, 0, 2]
@@ -156,9 +163,16 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
                 my = ch[:, None] * centers[None, :] + ty[:, None]
                 px = (mx + 1.0) * 0.5 * size - 0.5
                 py = (my + 1.0) * 0.5 * size - 0.5
-                from ..ops.image_ops import separable_resample
-                x = separable_resample(x, py, px)
-            if use_flip:
+                if use_flip:
+                    # fold hflip into the column coords: mirroring the output
+                    # == sampling the reversed coordinate row (bit-exact, and
+                    # saves a full-image reverse + select after the resample)
+                    flip = jax.random.bernoulli(r_flip, cfg.aug_hflip, (b,))
+                    px = jnp.where(flip[:, None], px[:, ::-1], px)
+                from ..ops.image_ops import separable_resample_mxu
+                dt = jnp.bfloat16 if cfg.precision == 16 else jnp.float32
+                x = separable_resample_mxu(x, py, px, compute_dtype=dt)
+            elif use_flip:
                 flip = jax.random.bernoulli(r_flip, cfg.aug_hflip, (b,))
                 x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
 
@@ -174,9 +188,11 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
             x = adjust_saturation(x, fs)
             x = adjust_hue(x, fh)
 
-        # ---- gaussian input noise (util.py:121-130)
+        # ---- gaussian input noise (util.py:121-130), drawn in x's dtype
         if cfg.aug_noise_std > 0:
-            x = x + jax.random.normal(r_noise, x.shape) * cfg.aug_noise_std
+            x = x + jax.random.normal(r_noise, x.shape,
+                                      x.dtype) * jnp.asarray(
+                                          cfg.aug_noise_std, x.dtype)
         return x
 
     return augment

@@ -127,6 +127,49 @@ def separable_resample(x: jax.Array, py: jax.Array, px: jax.Array) -> jax.Array:
     return cols0 * (1 - wx) + cols1 * wx          # (B, OH, OW, C)
 
 
+def _bilinear_weight_matrix(p: jax.Array, n: int, dtype) -> jax.Array:
+    """(B, O) float coords -> (B, O, n) bilinear interpolation matrix.
+
+    W[b, o, i] = relu(1 - |p[b,o] - i|): the bilinear hat function — exactly
+    the (1-w)/w pair a two-point gather would use, rows sum to 1 for p inside
+    [0, n-1] (coords are clamped by the caller)."""
+    idx = jnp.arange(n, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(p[:, :, None] - idx[None, None, :]))
+    return w.astype(dtype)
+
+
+def separable_resample_mxu(x: jax.Array, py: jax.Array, px: jax.Array,
+                           compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Axis-aligned bilinear resampling as two batched matmuls on the MXU.
+
+    Same math as ``separable_resample`` but expressed as dense interpolation
+    matrices contracted over rows then columns — on TPU this replaces four
+    full-image gather passes (plus the layout copies XLA inserts around them)
+    with systolic-array matmuls.  At the flagship train shape (256, 224, 224, 3)
+    the gather formulation was ~36%% of the whole b256 train step (profiled;
+    EXPERIMENTS.md "Augmentation pipeline"); the matmul pair is ~17 GFLOP × 2,
+    microseconds at MXU rates.  ``compute_dtype=bfloat16`` halves the bandwidth
+    and runs the MXU at full rate with fp32 accumulation (preferred_element_type)
+    — error ≤1 uint8 LSB, below the augmentation noise floor and exactly what
+    the bf16 train step consumes anyway.  Pass float32 for exact-parity tests.
+    """
+    b, h, w, c = x.shape
+    py = jnp.clip(py, 0.0, h - 1.0)
+    px = jnp.clip(px, 0.0, w - 1.0)
+    wy = _bilinear_weight_matrix(py, h, compute_dtype)   # (B, OH, H)
+    wx = _bilinear_weight_matrix(px, w, compute_dtype)   # (B, OW, W)
+    xc = x.astype(compute_dtype)
+    # fp32 weights -> HIGHEST so the matmul really runs fp32 (TPU einsum
+    # otherwise multiplies in bf16); bf16 weights run the MXU at full rate
+    prec = (jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    rows = jnp.einsum("boh,bhwc->bowc", wy, xc, precision=prec,
+                      preferred_element_type=jnp.float32).astype(compute_dtype)
+    out = jnp.einsum("bpw,bowc->bopc", wx, rows, precision=prec,
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
+
+
 def affine_grid(theta: jax.Array, out_hw: Tuple[int, int],
                 in_hw: Tuple[int, int]) -> Tuple[jax.Array, jax.Array]:
     """Build per-sample sampling grids from 3x3 homographies.
@@ -163,24 +206,28 @@ _GRAY = jnp.array([0.299, 0.587, 0.114])
 
 
 def adjust_brightness(x: jax.Array, factor: jax.Array) -> jax.Array:
-    return jnp.clip(x * factor[..., None, None, None], 0.0, 1.0)
+    # dtype-preserving (factors arrive fp32 from jax.random; promoting a bf16
+    # image back to fp32 here would double the pipeline's HBM traffic)
+    return jnp.clip(x * factor.astype(x.dtype)[..., None, None, None], 0.0, 1.0)
 
 
 def adjust_contrast(x: jax.Array, factor: jax.Array) -> jax.Array:
-    gray_mean = jnp.mean(jnp.tensordot(x, _GRAY, axes=([-1], [0])),
-                         axis=(1, 2))[..., None, None, None]
-    f = factor[..., None, None, None]
+    gray_mean = jnp.mean(jnp.tensordot(x, _GRAY.astype(x.dtype),
+                                       axes=([-1], [0])).astype(jnp.float32),
+                         axis=(1, 2))[..., None, None, None].astype(x.dtype)
+    f = factor.astype(x.dtype)[..., None, None, None]
     return jnp.clip(f * x + (1 - f) * gray_mean, 0.0, 1.0)
 
 
 def adjust_saturation(x: jax.Array, factor: jax.Array) -> jax.Array:
-    gray = jnp.tensordot(x, _GRAY, axes=([-1], [0]))[..., None]
-    f = factor[..., None, None, None]
+    gray = jnp.tensordot(x, _GRAY.astype(x.dtype), axes=([-1], [0]))[..., None]
+    f = factor.astype(x.dtype)[..., None, None, None]
     return jnp.clip(f * x + (1 - f) * gray, 0.0, 1.0)
 
 
 def adjust_hue(x: jax.Array, delta: jax.Array) -> jax.Array:
     """Hue shift by delta (fraction of a full turn, per-sample) via RGB<->HSV."""
+    delta = delta.astype(x.dtype)
     r, g, b = x[..., 0], x[..., 1], x[..., 2]
     maxc = jnp.max(x, axis=-1)
     minc = jnp.min(x, axis=-1)

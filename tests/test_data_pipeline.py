@@ -133,6 +133,36 @@ def test_hflip_is_exact_mirror():
     raise AssertionError("hflip never produced a mirror")
 
 
+def test_mxu_resample_matches_gather():
+    """The matmul (MXU) formulation of separable bilinear resampling must
+    reproduce the two-point gather formulation: exactly in fp32, within ~1
+    uint8 LSB in bf16 (the train-step compute dtype)."""
+    from sat_tpu.ops.image_ops import separable_resample, separable_resample_mxu
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((3, 17, 23, 3), np.float32))
+    py = jnp.asarray(rng.uniform(-1.0, 17.5, (3, 9)).astype(np.float32))
+    px = jnp.asarray(rng.uniform(-1.0, 23.5, (3, 11)).astype(np.float32))
+    ref = np.array(separable_resample(x, jnp.clip(py, 0, 16.0),
+                                      jnp.clip(px, 0, 22.0)))
+    got32 = np.array(separable_resample_mxu(x, py, px, jnp.float32))
+    np.testing.assert_allclose(got32, ref, atol=1e-5)
+    got16 = np.array(separable_resample_mxu(x, py, px, jnp.bfloat16))
+    np.testing.assert_allclose(got16, ref, atol=1.5 / 255.0)
+
+
+def test_crop_flip_fold_matches_post_reverse():
+    """Folding hflip into the resample's column coordinates must equal
+    resampling then mirroring (what the separate reverse used to do)."""
+    from sat_tpu.ops.image_ops import separable_resample_mxu
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.random((2, 12, 12, 3), np.float32))
+    py = jnp.broadcast_to(jnp.linspace(1.0, 10.0, 12), (2, 12))
+    px = jnp.broadcast_to(jnp.linspace(0.5, 10.5, 12), (2, 12))
+    a = np.array(separable_resample_mxu(x, py, px[:, ::-1], jnp.float32))
+    b = np.array(separable_resample_mxu(x, py, px, jnp.float32))[:, :, ::-1, :]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 def test_val_preprocess():
     imgs = np.full((2, 4, 4, 3), 255, np.uint8)
     out = np.array(val_preprocess(jnp.asarray(imgs)))
