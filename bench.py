@@ -92,7 +92,12 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
                                      fused=fused,
                                      early_exit=early_exit).tokens
             acc = acc + toks.sum()
-            im = im + (acc % 3).astype(im.dtype) * jnp.asarray(1e-4, im.dtype)
+            # data dependency on the previous batch's tokens WITHOUT a
+            # full-image rewrite (profiled at ~7% of the b512 step): a
+            # single-pixel in-place update is enough to defeat loop-invariant
+            # hoisting, and XLA aliases the carry buffer so it's ~free
+            im = im.at[0, 0, 0, :].add(
+                (acc % 3).astype(im.dtype) * jnp.asarray(1e-4, im.dtype))
             return (im, acc)
         _, acc = jax.lax.fori_loop(0, k, body, (im, jnp.int32(0)))
         return acc
