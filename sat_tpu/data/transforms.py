@@ -188,9 +188,11 @@ def build_train_augment(cfg: SATConfig) -> Callable[[jax.Array, jax.Array], jax.
             x = adjust_saturation(x, fs)
             x = adjust_hue(x, fh)
 
-        # ---- gaussian input noise (util.py:121-130), drawn in x's dtype
+        # ---- gaussian input noise (util.py:121-130), drawn in x's dtype;
+        # image-sized draw -> hardware RNG when cfg.fast_rng (3.3x threefry)
         if cfg.aug_noise_std > 0:
-            x = x + jax.random.normal(r_noise, x.shape,
+            from ..models.decoder import fast_key
+            x = x + jax.random.normal(fast_key(r_noise, cfg.fast_rng), x.shape,
                                       x.dtype) * jnp.asarray(
                                           cfg.aug_noise_std, x.dtype)
         return x

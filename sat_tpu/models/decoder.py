@@ -121,6 +121,20 @@ def _dropout(x, rate, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def fast_key(key: jax.Array, enable: bool = True) -> jax.Array:
+    """Threefry key -> typed `rbg` key: split/fold_in stay threefry-derived
+    (deterministic stream structure preserved) but random BITS come from the
+    TPU's hardware RngBitGenerator — measured 3.3x faster than threefry at
+    the b256 image-noise shape (0.86 vs 2.82 ms; EXPERIMENTS.md).  Mask/noise
+    draws through this are deterministic per backend+key but, unlike
+    threefry, not guaranteed bit-identical across backends/XLA versions —
+    which is why `cfg.fast_rng=False` (enable=False) falls back to plain
+    threefry for cross-backend-reproducible training."""
+    if not enable:
+        return key
+    return jax.random.wrap_key_data(jnp.concatenate([key, key]), impl="rbg")
+
+
 def init_lstm_state(params: Dict, annotations: jax.Array, cfg: SATConfig,
                     dropout_rng: Optional[jax.Array] = None,
                     batch_reshape: bool = False

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..config import SATConfig
 from ..ops.label_smoothing import label_smoothing_loss, masked_token_accuracy
 from .decoder import (attention_precompute, decoder_step, embed_tokens,
-                      init_lstm_state, _dropout)
+                      fast_key, init_lstm_state, _dropout)
 
 
 def repeat_annotations(annotations: jax.Array, n_refs: int) -> jax.Array:
@@ -62,7 +62,9 @@ def train_forward(params: Dict, cfg: SATConfig, annotations: jax.Array,
 
     # Per-step scalar coin flips for scheduled sampling (model.py:518)
     coins = jax.random.uniform(rng_tf, (num_steps,)) <= epsilon
-    drop_rngs = jax.random.split(rng_drop, num_steps)
+    # bulk dropout-mask bits via the hardware RNG (threefry-derived stream
+    # structure, see decoder.fast_key; cfg.fast_rng=False -> pure threefry)
+    drop_rngs = jax.random.split(fast_key(rng_drop, cfg.fast_rng), num_steps)
 
     v = cfg.vocab_size
     init_prev_logits = jnp.zeros((n, v), jnp.float32)
@@ -128,7 +130,9 @@ def train_forward_loss(params: Dict, cfg: SATConfig, annotations: jax.Array,
                            batch_reshape=True)
     att_enc = attention_precompute(params, annotations)
     coins = jax.random.uniform(rng_tf, (num_steps,)) <= epsilon
-    drop_rngs = jax.random.split(rng_drop, num_steps)
+    # bulk dropout-mask bits via the hardware RNG (threefry-derived stream
+    # structure, see decoder.fast_key; cfg.fast_rng=False -> pure threefry)
+    drop_rngs = jax.random.split(fast_key(rng_drop, cfg.fast_rng), num_steps)
 
     def step_fn(carry, xs):
         h, c, prev_pred = carry
@@ -223,7 +227,9 @@ def train_forward_loss_grouped(params: Dict, cfg: SATConfig,
 
     att_enc = attention_precompute(params, annotations)           # (B, L, A)
     coins = jax.random.uniform(rng_tf, (num_steps,)) <= epsilon
-    drop_rngs = jax.random.split(rng_drop, num_steps)
+    # bulk dropout-mask bits via the hardware RNG (threefry-derived stream
+    # structure, see decoder.fast_key; cfg.fast_rng=False -> pure threefry)
+    drop_rngs = jax.random.split(fast_key(rng_drop, cfg.fast_rng), num_steps)
 
     from .decoder import beta_gate, deep_output
 

@@ -163,6 +163,32 @@ def test_crop_flip_fold_matches_post_reverse():
     np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_fast_rng_noise_deterministic_and_fallback():
+    """cfg.fast_rng routes the image-noise draw through the hardware
+    RngBitGenerator: same key -> same noise (determinism / bit-exact resume
+    holds), different key -> different noise; fast_rng=False reproduces the
+    plain-threefry draw exactly."""
+    imgs = np.random.default_rng(2).integers(0, 256, (2, 8, 8, 3),
+                                             dtype=np.uint8)
+    base = dict(input_size=8, aug_scale=1.0, aug_hflip=0.0,
+                aug_color_jitter=0.0, aug_optical_strength=0.0,
+                aug_noise_std=0.05)
+    fast = build_train_augment(SATConfig(**base, fast_rng=True))
+    slow = build_train_augment(SATConfig(**base, fast_rng=False))
+    a1 = np.array(fast(jax.random.PRNGKey(7), jnp.asarray(imgs)))
+    a2 = np.array(fast(jax.random.PRNGKey(7), jnp.asarray(imgs)))
+    b1 = np.array(fast(jax.random.PRNGKey(8), jnp.asarray(imgs)))
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.allclose(a1, b1)
+    # threefry fallback == the historical draw
+    s1 = np.array(slow(jax.random.PRNGKey(7), jnp.asarray(imgs)))
+    (_, _, _, _, _, _, _, _, r_noise) = jax.random.split(
+        jax.random.PRNGKey(7), 9)
+    want = imgs.astype(np.float32) / 255.0 + np.array(
+        jax.random.normal(r_noise, imgs.shape, jnp.float32)) * 0.05
+    np.testing.assert_allclose(s1, want, atol=1e-6)
+
+
 def test_val_preprocess():
     imgs = np.full((2, 4, 4, 3), 255, np.uint8)
     out = np.array(val_preprocess(jnp.asarray(imgs)))
