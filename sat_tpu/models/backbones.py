@@ -126,6 +126,47 @@ def channel_shuffle(x: jax.Array, groups: int = 2) -> jax.Array:
     return x.reshape(b, h, w, c)
 
 
+class FoldedStemConv(nn.Module):
+    """Stem conv with the encoder's input ``Normalize(mean, std)`` folded in.
+
+    Normalize is a full-image bandwidth pass XLA can't fuse into a
+    convolution (convs aren't fusion consumers on TPU) — profiled at ~7% of
+    the b512 greedy-decode step.  Because the conv is linear, the normalize
+    folds into the KERNEL exactly, including zero-padded borders:
+
+        conv((x-m)/s, W)  ==  conv(x, W·(1/s))  -  conv(1_img, W·(m/s))
+
+    where both convs use the same zero SAME-padding and ``1_img`` is a
+    single ones-image — so the second term is a position-dependent bias map
+    (borders see fewer real taps) computed from a (1, H, W, 3) conv, ~1/B of
+    the batch cost.  Replaces the reference's Normalize-as-first-layer
+    (reference: model.py:59-62) with zero image-sized work.  Parameter path
+    and init match ``nn.Conv(features, (3,3), (2,2), padding=1,
+    use_bias=False)`` so checkpoints and the torchvision converter are
+    unaffected; equality with the normalize-then-conv path is pinned by
+    tests/test_encoders.py::test_folded_stem_matches_normalize_path."""
+    features: int
+    mean: Tuple[float, float, float]
+    std: Tuple[float, float, float]
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 3, self.features), jnp.float32)
+        dt = jnp.promote_types(x.dtype, kernel.dtype)
+        k = kernel.astype(dt)
+        x = x.astype(dt)
+        inv = jnp.asarray([1.0 / s for s in self.std], dt)
+        mi = jnp.asarray([m / s for m, s in zip(self.mean, self.std)], dt)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        conv = lambda lhs, w: jax.lax.conv_general_dilated(
+            lhs, w, (2, 2), [(1, 1), (1, 1)], dimension_numbers=dn)
+        ones = jnp.ones((1,) + x.shape[1:3] + (3,), dt)
+        bias_map = conv(ones, k * mi[None, None, :, None])   # (1, OH, OW, F)
+        return conv(x, k * inv[None, None, :, None]) - bias_map
+
+
 class ShuffleUnit(nn.Module):
     out_ch: int
     stride: int
@@ -162,11 +203,19 @@ class ShuffleUnit(nn.Module):
 class ShuffleNetV2(nn.Module):
     stage_out: Sequence[int]   # (c2, c3, c4, conv5)
     train: bool = False
+    # (mean, std) tuples -> the input Normalize is folded into conv1's kernel
+    # (see FoldedStemConv) and the caller feeds RAW [0,1] images
+    fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
     def __call__(self, x):
         ra = not self.train
-        x = nn.Conv(24, (3, 3), (2, 2), padding=1, use_bias=False, name="conv1")(x)
+        if self.fold_norm is not None:
+            x = FoldedStemConv(24, self.fold_norm[0], self.fold_norm[1],
+                               name="conv1")(x)
+        else:
+            x = nn.Conv(24, (3, 3), (2, 2), padding=1, use_bias=False,
+                        name="conv1")(x)
         x = BN(use_running_average=ra, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -537,3 +586,7 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
     "mnasnet1_0": partial(MNASNet, alpha=1.0),
     "mnasnet1_3": partial(MNASNet, alpha=1.3),
 }
+
+# Families whose stem accepts fold_norm=(mean, std) — the encoder then skips
+# its Normalize pass and feeds raw images (see FoldedStemConv)
+FOLD_NORM_ARCHS = frozenset(a for a in BACKBONES if a.startswith("shufflenet"))

@@ -28,7 +28,7 @@ from flax import linen as nn
 
 from ..config import SATConfig
 from ..ops.image_ops import adaptive_avg_pool2d, bilinear_resize, normalize_image
-from .backbones import BACKBONES
+from .backbones import BACKBONES, FOLD_NORM_ARCHS
 
 
 class SATEncoder(nn.Module):
@@ -46,8 +46,17 @@ class SATEncoder(nn.Module):
         contract for 2-D attention visualization, model.py:96-98)."""
         if self.arch not in BACKBONES:
             raise ValueError(f"Encoder not supported : {self.arch}")
-        x = normalize_image(x, self.mean, self.std)
-        x = BACKBONES[self.arch](train=self.train, name="backbone")(x)
+        if self.arch in FOLD_NORM_ARCHS:
+            # Normalize folds into the stem conv's kernel — exact, including
+            # padded borders (backbones.FoldedStemConv), and removes a
+            # full-image bandwidth pass (~7% of the greedy-decode step)
+            x = BACKBONES[self.arch](train=self.train,
+                                     fold_norm=(tuple(self.mean),
+                                                tuple(self.std)),
+                                     name="backbone")(x)
+        else:
+            x = normalize_image(x, self.mean, self.std)
+            x = BACKBONES[self.arch](train=self.train, name="backbone")(x)
         if self.encoder_dim is not None and self.encoder_dim != x.shape[-1]:
             # 1x1 conv forcing encoder_dim features (model.py:50-53)
             x = nn.Conv(self.encoder_dim, (1, 1), use_bias=True, name="proj")(x)

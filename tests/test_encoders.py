@@ -92,3 +92,47 @@ def test_batch_stats_update_in_train_mode():
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(np.array(b), np.array(a))
                for b, a in zip(before, after))
+
+
+def test_folded_stem_matches_normalize_path():
+    """FoldedStemConv(conv1 with Normalize folded into the kernel) must equal
+    normalize_image -> plain conv1 EXACTLY, including the zero-padded borders
+    the position-dependent bias map compensates for (backbones.FoldedStemConv;
+    reference Normalize-as-first-layer: model.py:59-62)."""
+    from flax import linen as nn
+    from sat_tpu.models.backbones import FoldedStemConv
+    from sat_tpu.ops.image_ops import normalize_image
+    mean, std = (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.uniform(rng, (2, 18, 18, 3), jnp.float32)
+
+    folded = FoldedStemConv(24, mean, std)
+    vars_f = folded.init(jax.random.PRNGKey(5), x)
+    plain = nn.Conv(24, (3, 3), (2, 2), padding=1, use_bias=False)
+    vars_p = {"params": {"kernel": vars_f["params"]["kernel"]}}  # same kernel
+
+    got = folded.apply(vars_f, x)
+    want = plain.apply(vars_p, normalize_image(x, mean, std))
+    assert got.shape == want.shape == (2, 9, 9, 24)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_shufflenet_encoder_fold_is_transparent():
+    """The full shufflenet SATEncoder (which now folds normalize into conv1)
+    must reproduce the explicit normalize->backbone composition on the same
+    parameters, train and eval mode."""
+    from sat_tpu.models.backbones import BACKBONES
+    from sat_tpu.ops.image_ops import normalize_image
+    cfg = SATConfig(encoder_arch="shufflenet_v2_x0_5", input_size=32)
+    module, variables, cfg, grid = build_encoder(cfg, jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), jnp.float32)
+    out = module.apply(variables, x, flatten=False)
+
+    # manual composition: normalize on host-visible path + fold_norm=None
+    ref_bk = BACKBONES["shufflenet_v2_x0_5"](train=False)
+    bk_vars = {"params": variables["params"]["backbone"],
+               "batch_stats": variables["batch_stats"]["backbone"]}
+    want = ref_bk.apply(bk_vars, normalize_image(x, cfg.mean, cfg.std))
+    np.testing.assert_allclose(np.array(out), np.array(want),
+                               atol=3e-5, rtol=1e-5)
