@@ -282,6 +282,8 @@ class InvertedResidual(nn.Module):
 
 class MobileNetV2(nn.Module):
     train: bool = False
+    # (mean, std) -> input Normalize folded into the stem kernel
+    fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
     # (expand, out, repeats, stride)
     settings: Sequence[Tuple[int, int, int, int]] = (
         (1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
@@ -290,7 +292,12 @@ class MobileNetV2(nn.Module):
     @nn.compact
     def __call__(self, x):
         ra = not self.train
-        x = nn.Conv(32, (3, 3), (2, 2), padding=1, use_bias=False, name="stem")(x)
+        if self.fold_norm is not None:
+            x = FoldedStemConv(32, self.fold_norm[0], self.fold_norm[1],
+                               name="stem")(x)
+        else:
+            x = nn.Conv(32, (3, 3), (2, 2), padding=1, use_bias=False,
+                        name="stem")(x)
         x = BN(use_running_average=ra, name="stem_bn")(x)
         x = jax.nn.relu6(x)
         idx = 0
@@ -366,11 +373,18 @@ class MobileNetV3(nn.Module):
     settings: Sequence[Tuple[int, int, int, bool, bool, int]]
     last_channels: int
     train: bool = False
+    # (mean, std) -> input Normalize folded into the stem kernel
+    fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
     def __call__(self, x):
         ra = not self.train
-        x = nn.Conv(16, (3, 3), (2, 2), padding=1, use_bias=False, name="stem")(x)
+        if self.fold_norm is not None:
+            x = FoldedStemConv(16, self.fold_norm[0], self.fold_norm[1],
+                               name="stem")(x)
+        else:
+            x = nn.Conv(16, (3, 3), (2, 2), padding=1, use_bias=False,
+                        name="stem")(x)
         x = BN(use_running_average=ra, name="stem_bn")(x)
         x = hswish(x)
         for i, (k, e, c, se, hs, s) in enumerate(self.settings):
@@ -515,14 +529,20 @@ def _round8(v: float) -> int:
 class MNASNet(nn.Module):
     alpha: float
     train: bool = False
+    # (mean, std) -> input Normalize folded into the stem kernel
+    fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
     def __call__(self, x):
         ra = not self.train
         depths = [_round8(d * self.alpha)
                   for d in (32, 16, 24, 40, 80, 96, 192, 320)]
-        x = nn.Conv(depths[0], (3, 3), (2, 2), padding=1, use_bias=False,
-                    name="stem")(x)
+        if self.fold_norm is not None:
+            x = FoldedStemConv(depths[0], self.fold_norm[0], self.fold_norm[1],
+                               name="stem")(x)
+        else:
+            x = nn.Conv(depths[0], (3, 3), (2, 2), padding=1, use_bias=False,
+                        name="stem")(x)
         x = BN(use_running_average=ra, name="stem_bn")(x)
         x = nn.relu(x)
         # separable: dw 3x3 + pw 1x1 -> depths[1]
@@ -589,4 +609,6 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
 
 # Families whose stem accepts fold_norm=(mean, std) — the encoder then skips
 # its Normalize pass and feeds raw images (see FoldedStemConv)
-FOLD_NORM_ARCHS = frozenset(a for a in BACKBONES if a.startswith("shufflenet"))
+FOLD_NORM_ARCHS = frozenset(
+    a for a in BACKBONES
+    if a.startswith(("shufflenet", "mobilenet", "mnasnet")))

@@ -118,19 +118,22 @@ def test_folded_stem_matches_normalize_path():
                                atol=2e-5, rtol=1e-5)
 
 
-def test_shufflenet_encoder_fold_is_transparent():
-    """The full shufflenet SATEncoder (which now folds normalize into conv1)
+@pytest.mark.parametrize("arch", ["shufflenet_v2_x0_5", "mobilenet_v3_small",
+                                  "mobilenet_v2", "mnasnet0_5"])
+def test_encoder_fold_is_transparent(arch):
+    """Every FOLD_NORM_ARCHS encoder (normalize folded into the stem kernel)
     must reproduce the explicit normalize->backbone composition on the same
-    parameters, train and eval mode."""
-    from sat_tpu.models.backbones import BACKBONES
+    parameters."""
+    from sat_tpu.models.backbones import BACKBONES, FOLD_NORM_ARCHS
     from sat_tpu.ops.image_ops import normalize_image
-    cfg = SATConfig(encoder_arch="shufflenet_v2_x0_5", input_size=32)
+    assert arch in FOLD_NORM_ARCHS
+    cfg = SATConfig(encoder_arch=arch, input_size=32)
     module, variables, cfg, grid = build_encoder(cfg, jax.random.PRNGKey(0))
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), jnp.float32)
     out = module.apply(variables, x, flatten=False)
 
-    # manual composition: normalize on host-visible path + fold_norm=None
-    ref_bk = BACKBONES["shufflenet_v2_x0_5"](train=False)
+    # manual composition: explicit normalize + fold_norm=None backbone
+    ref_bk = BACKBONES[arch](train=False)
     bk_vars = {"params": variables["params"]["backbone"],
                "batch_stats": variables["batch_stats"]["backbone"]}
     want = ref_bk.apply(bk_vars, normalize_image(x, cfg.mean, cfg.std))
