@@ -94,10 +94,17 @@ class ResNet(nn.Module):
     groups: int = 1
     base_width: int = 64
     train: bool = False
+    # (mean, std) -> input Normalize folded into the stem kernel
+    fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1")(x)
+        if self.fold_norm is not None:
+            x = FoldedStemConv(64, self.fold_norm[0], self.fold_norm[1],
+                               kernel_size=(7, 7), padding=3, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                        name="conv1")(x)
         x = BN(use_running_average=not self.train, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -136,23 +143,28 @@ class FoldedStemConv(nn.Module):
 
         conv((x-m)/s, W)  ==  conv(x, W·(1/s))  -  conv(1_img, W·(m/s))
 
-    where both convs use the same zero SAME-padding and ``1_img`` is a
-    single ones-image — so the second term is a position-dependent bias map
+    where both convs use the same zero padding and ``1_img`` is a single
+    ones-image — so the second term is a position-dependent bias map
     (borders see fewer real taps) computed from a (1, H, W, 3) conv, ~1/B of
     the batch cost.  Replaces the reference's Normalize-as-first-layer
-    (reference: model.py:59-62) with zero image-sized work.  Parameter path
-    and init match ``nn.Conv(features, (3,3), (2,2), padding=1,
-    use_bias=False)`` so checkpoints and the torchvision converter are
-    unaffected; equality with the normalize-then-conv path is pinned by
+    (reference: model.py:59-62) with zero image-sized work.  Parameter paths
+    and inits match the ``nn.Conv`` it replaces so checkpoints and the
+    torchvision converter are unaffected; equality with the
+    normalize-then-conv path is pinned by
     tests/test_encoders.py::test_folded_stem_matches_normalize_path."""
     features: int
     mean: Tuple[float, float, float]
     std: Tuple[float, float, float]
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (2, 2)
+    padding: int = 1
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, 3, self.features), jnp.float32)
+                            (kh, kw, 3, self.features), jnp.float32)
         dt = jnp.promote_types(x.dtype, kernel.dtype)
         k = kernel.astype(dt)
         x = x.astype(dt)
@@ -160,11 +172,17 @@ class FoldedStemConv(nn.Module):
         mi = jnp.asarray([m / s for m, s in zip(self.mean, self.std)], dt)
         dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
                                             ("NHWC", "HWIO", "NHWC"))
+        pad = [(self.padding, self.padding)] * 2
         conv = lambda lhs, w: jax.lax.conv_general_dilated(
-            lhs, w, (2, 2), [(1, 1), (1, 1)], dimension_numbers=dn)
+            lhs, w, self.strides, pad, dimension_numbers=dn)
         ones = jnp.ones((1,) + x.shape[1:3] + (3,), dt)
-        bias_map = conv(ones, k * mi[None, None, :, None])   # (1, OH, OW, F)
-        return conv(x, k * inv[None, None, :, None]) - bias_map
+        y = conv(x, k * inv[None, None, :, None]) \
+            - conv(ones, k * mi[None, None, :, None])
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(dt)
+        return y
 
 
 class ShuffleUnit(nn.Module):
@@ -429,12 +447,21 @@ class Fire(nn.Module):
 class SqueezeNet(nn.Module):
     version: str = "1_1"
     train: bool = False
+    # (mean, std) -> input Normalize folded into the stem kernel
+    fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
     def __call__(self, x):
         mp = _max_pool_ceil
         if self.version == "1_0":
-            x = nn.relu(nn.Conv(96, (7, 7), (2, 2), padding=0, name="conv1")(x))
+            if self.fold_norm is not None:
+                x = nn.relu(FoldedStemConv(
+                    96, self.fold_norm[0], self.fold_norm[1],
+                    kernel_size=(7, 7), padding=0, use_bias=True,
+                    name="conv1")(x))
+            else:
+                x = nn.relu(nn.Conv(96, (7, 7), (2, 2), padding=0,
+                                    name="conv1")(x))
             x = mp(x)
             x = Fire(16, 64, 64, name="fire2")(x)
             x = Fire(16, 64, 64, name="fire3")(x)
@@ -447,7 +474,14 @@ class SqueezeNet(nn.Module):
             x = mp(x)
             x = Fire(64, 256, 256, name="fire9")(x)
         else:
-            x = nn.relu(nn.Conv(64, (3, 3), (2, 2), padding=0, name="conv1")(x))
+            if self.fold_norm is not None:
+                x = nn.relu(FoldedStemConv(
+                    64, self.fold_norm[0], self.fold_norm[1],
+                    kernel_size=(3, 3), padding=0, use_bias=True,
+                    name="conv1")(x))
+            else:
+                x = nn.relu(nn.Conv(64, (3, 3), (2, 2), padding=0,
+                                    name="conv1")(x))
             x = mp(x)
             x = Fire(16, 64, 64, name="fire2")(x)
             x = Fire(16, 64, 64, name="fire3")(x)
@@ -489,12 +523,19 @@ class DenseNet(nn.Module):
     growth: int = 32
     init_features: int = 64
     train: bool = False
+    # (mean, std) -> input Normalize folded into the stem kernel
+    fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
     def __call__(self, x):
         ra = not self.train
-        x = nn.Conv(self.init_features, (7, 7), (2, 2), padding=3,
-                    use_bias=False, name="conv0")(x)
+        if self.fold_norm is not None:
+            x = FoldedStemConv(self.init_features, self.fold_norm[0],
+                               self.fold_norm[1], kernel_size=(7, 7),
+                               padding=3, name="conv0")(x)
+        else:
+            x = nn.Conv(self.init_features, (7, 7), (2, 2), padding=3,
+                        use_bias=False, name="conv0")(x)
         x = BN(use_running_average=ra, name="norm0")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -609,6 +650,5 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
 
 # Families whose stem accepts fold_norm=(mean, std) — the encoder then skips
 # its Normalize pass and feeds raw images (see FoldedStemConv)
-FOLD_NORM_ARCHS = frozenset(
-    a for a in BACKBONES
-    if a.startswith(("shufflenet", "mobilenet", "mnasnet")))
+# Every family folds the input Normalize into its stem conv
+FOLD_NORM_ARCHS = frozenset(BACKBONES)

@@ -119,7 +119,9 @@ def test_folded_stem_matches_normalize_path():
 
 
 @pytest.mark.parametrize("arch", ["shufflenet_v2_x0_5", "mobilenet_v3_small",
-                                  "mobilenet_v2", "mnasnet0_5"])
+                                  "mobilenet_v2", "mnasnet0_5", "resnet18",
+                                  "squeezenet1_0", "squeezenet1_1",
+                                  "densenet121"])
 def test_encoder_fold_is_transparent(arch):
     """Every FOLD_NORM_ARCHS encoder (normalize folded into the stem kernel)
     must reproduce the explicit normalize->backbone composition on the same
@@ -134,8 +136,9 @@ def test_encoder_fold_is_transparent(arch):
 
     # manual composition: explicit normalize + fold_norm=None backbone
     ref_bk = BACKBONES[arch](train=False)
-    bk_vars = {"params": variables["params"]["backbone"],
-               "batch_stats": variables["batch_stats"]["backbone"]}
+    bk_vars = {"params": variables["params"]["backbone"]}
+    if "batch_stats" in variables:  # squeezenet has no BatchNorm
+        bk_vars["batch_stats"] = variables["batch_stats"]["backbone"]
     want = ref_bk.apply(bk_vars, normalize_image(x, cfg.mean, cfg.std))
     np.testing.assert_allclose(np.array(out), np.array(want),
                                atol=3e-5, rtol=1e-5)
