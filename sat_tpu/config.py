@@ -50,6 +50,9 @@ class SATConfig:
     bucket_sampler: bool = False
     cache_images: bool = False   # RAM-cache decoded images (subset-scale data)
     native_decode: Optional[bool] = None  # C++ jpeg pipeline (None = auto-detect)
+    # fused Pallas stem kernel on the inference path (kernels/stem.py);
+    # None = auto (on for supported stems when running on TPU)
+    fused_stem: Optional[bool] = None
 
     # -- Vision encoder (reference: train.py:43-51; readme.md:110-125 encoder_size variant)
     encoder_arch: str = "shufflenet_v2_x0_5"
@@ -230,6 +233,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="force the C++ jpeg pipeline (default: auto-detect)")
     p.add_argument("--no_native_decode", dest="native_decode",
                    action="store_false")
+    p.add_argument("--fused_stem", default=None, action="store_true",
+                   help="force the fused Pallas stem kernel on the inference "
+                        "path (default: auto — on for supported stems on TPU)")
+    p.add_argument("--no_fused_stem", dest="fused_stem", action="store_false")
     p.add_argument("--encoder_arch", default=d.encoder_arch, type=str)
     p.add_argument("--input_size", default=d.input_size, type=int)
     _add_bool_flag(p, "pretrained")

@@ -215,7 +215,13 @@ class ShuffleUnit(nn.Module):
         y = nn.Conv(branch_ch, (1, 1), use_bias=False, name="b2_pw2")(y)
         y = BN(use_running_average=ra, name="b2_pw2bn")(y)
         y = nn.relu(y)
-        return channel_shuffle(jnp.concatenate([left, y], axis=-1))
+        # shuffle(concat([l, y]), 2) IS the riffle interleave out[2i]=l[i],
+        # out[2i+1]=y[i]; stack+reshape emits it in one pass instead of the
+        # concat copy + reshape/swapaxes/reshape relayout pair the generic
+        # channel_shuffle costs per unit (profiled ~0.8 ms/step @b512 decode).
+        # Bit-exact by construction (tests/test_encoders.py pins it).
+        b, h, w, c = left.shape
+        return jnp.stack([left, y], axis=-1).reshape(b, h, w, 2 * c)
 
 
 class ShuffleNetV2(nn.Module):
@@ -226,17 +232,22 @@ class ShuffleNetV2(nn.Module):
     fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
-        if self.fold_norm is not None:
-            x = FoldedStemConv(24, self.fold_norm[0], self.fold_norm[1],
-                               name="conv1")(x)
+        if stem_out is not None:
+            # stem already computed by the fused Pallas kernel
+            # (kernels/stem.py) — resume from the pooled feature map
+            x = stem_out
         else:
-            x = nn.Conv(24, (3, 3), (2, 2), padding=1, use_bias=False,
-                        name="conv1")(x)
-        x = BN(use_running_average=ra, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+            if self.fold_norm is not None:
+                x = FoldedStemConv(24, self.fold_norm[0], self.fold_norm[1],
+                                   name="conv1")(x)
+            else:
+                x = nn.Conv(24, (3, 3), (2, 2), padding=1, use_bias=False,
+                            name="conv1")(x)
+            x = BN(use_running_average=ra, name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for s, (out_ch, repeats) in enumerate(zip(self.stage_out[:3], (4, 8, 4))):
             x = ShuffleUnit(out_ch, 2, self.train, name=f"stage{s+2}_0")(x)
             for j in range(repeats - 1):

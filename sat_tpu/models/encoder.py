@@ -40,12 +40,18 @@ class SATEncoder(nn.Module):
     train: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, flatten: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, flatten: bool = True,
+                 stem_out: Optional[jax.Array] = None) -> jax.Array:
         """x: (B, H, W, 3) raw [0,1] images -> (B, L, D) annotations
         (or the 4-D feature map when flatten=False, the checked-out reference's
-        contract for 2-D attention visualization, model.py:96-98)."""
+        contract for 2-D attention visualization, model.py:96-98).
+
+        stem_out: optional pre-computed stem output from the fused Pallas
+        stem kernel (kernels/stem.py) — the backbone resumes after its
+        stem+pool (shufflenet only; see SATModel._fused_stem_out)."""
         if self.arch not in BACKBONES:
             raise ValueError(f"Encoder not supported : {self.arch}")
+        extra = {"stem_out": stem_out} if stem_out is not None else {}
         if self.arch in FOLD_NORM_ARCHS:
             # Normalize folds into the stem conv's kernel — exact, including
             # padded borders (backbones.FoldedStemConv), and removes a
@@ -53,7 +59,7 @@ class SATEncoder(nn.Module):
             x = BACKBONES[self.arch](train=self.train,
                                      fold_norm=(tuple(self.mean),
                                                 tuple(self.std)),
-                                     name="backbone")(x)
+                                     name="backbone")(x, **extra)
         else:
             x = normalize_image(x, self.mean, self.std)
             x = BACKBONES[self.arch](train=self.train, name="backbone")(x)

@@ -73,13 +73,41 @@ class SATModel:
             annots, mutated = self.encoder_train.apply(
                 enc_vars, images, mutable=["batch_stats"])
             return annots, mutated["batch_stats"]
-        return self.encoder_eval.apply(enc_vars, images)
+        return self.encoder_eval.apply(
+            enc_vars, images, stem_out=self._fused_stem_out(variables, images))
 
     def encode_features(self, variables: Dict[str, Any], images: jax.Array):
         """4-D feature map path (flatten=False) for visualization."""
         enc_vars = {"params": variables["params"]["encoder"],
                     "batch_stats": variables["state"]["batch_stats"]}
-        return self.encoder_eval.apply(enc_vars, images, flatten=False)
+        return self.encoder_eval.apply(
+            enc_vars, images, flatten=False,
+            stem_out=self._fused_stem_out(variables, images))
+
+    def _fused_stem_out(self, variables: Dict[str, Any],
+                        images: jax.Array) -> Optional[jax.Array]:
+        """Run the fused Pallas stem kernel (kernels/stem.py) when enabled.
+
+        Returns the pooled stem output the backbone should resume from, or
+        None for the unfused flax path.  Auto policy (cfg.fused_stem=None):
+        on for supported shufflenet-shaped stems when running on TPU —
+        fp32-exact / bf16-rounding-equivalent to the unfused path
+        (tests/test_stem_kernel.py), so this is purely a scheduling choice."""
+        from ..kernels.stem import fused_stem_pool, stem_supported
+        cfg = self.cfg
+        enabled = cfg.fused_stem
+        if enabled is None:
+            enabled = jax.default_backend() not in ("cpu",)
+        b, h, w, c = images.shape
+        if (not enabled or not cfg.encoder_arch.startswith("shufflenet")
+                or h != w or c != 3 or not stem_supported(h, 24)):
+            return None
+        bp = variables["params"]["encoder"]["backbone"]
+        bs = variables["state"]["batch_stats"]["backbone"]
+        return fused_stem_pool(
+            images, bp["conv1"]["kernel"], bp["bn1"]["scale"],
+            bp["bn1"]["bias"], bs["bn1"]["mean"], bs["bn1"]["var"],
+            1e-5, cfg.mean, cfg.std)
 
     # -- inference API (reference: SAT.caption at model.py:214-235) --------
 

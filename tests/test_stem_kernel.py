@@ -1,0 +1,111 @@
+"""Fused stem kernel (kernels/stem.py) vs the unfused jnp oracle.
+
+The kernel replaces normalize -> conv3x3/s2 -> BN -> ReLU -> maxpool3x3/s2
+(the reference encoder's entry sequence, reference: model.py:59-62 + the
+shufflenet stem) with one Pallas pass.  fp32 must match the oracle to
+float tolerance INCLUDING every border (zero conv pad after normalize, pool
+edge windows); bf16 within bf16 rounding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sat_tpu.kernels.stem import (build_stem_patches, fused_stem_pool,
+                                  stem_pool_reference, stem_supported)
+
+MEAN = (0.485, 0.456, 0.406)
+STD = (0.229, 0.224, 0.225)
+
+
+def _random_stem(rng, f=24):
+    kernel = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, f)), jnp.float32)
+    sc = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
+    bb = jnp.asarray(rng.normal(0, 0.3, (f,)), jnp.float32)
+    mu = jnp.asarray(rng.normal(0, 0.2, (f,)), jnp.float32)
+    var = jnp.asarray(rng.uniform(0.2, 1.0, (f,)), jnp.float32)
+    return kernel, sc, bb, mu, var
+
+
+@pytest.mark.parametrize("size", [32, 64, 224])
+def test_fused_stem_fp32_exact(size):
+    rng = np.random.default_rng(0)
+    kernel, sc, bb, mu, var = _random_stem(rng)
+    x = jnp.asarray(rng.random((2, size, size, 3)), jnp.float32)
+    want = stem_pool_reference(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD)
+    got = fused_stem_pool(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD)
+    assert got.shape == (2, size // 4, size // 4, 24)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_bf16_close():
+    rng = np.random.default_rng(1)
+    kernel, sc, bb, mu, var = _random_stem(rng)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.bfloat16)
+    want = stem_pool_reference(x.astype(jnp.float32), kernel, sc, bb, mu,
+                               var, 1e-5, MEAN, STD)
+    got = fused_stem_pool(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.array(got, np.float32), np.array(want),
+                               rtol=0.05, atol=0.05)
+
+
+def test_fused_stem_small_features():
+    # F=16 stem (mobilenet-class width) exercises the generic lane math
+    rng = np.random.default_rng(2)
+    kernel, sc, bb, mu, var = _random_stem(rng, f=16)
+    x = jnp.asarray(rng.random((1, 48, 48, 3)), jnp.float32)
+    want = stem_pool_reference(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD)
+    got = fused_stem_pool(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_patch_builder_layout():
+    # row (i, g) = [row 2i-1 | row 2i | row 2i+1], 8 px x 3 ch each
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 16, 16, 3)), jnp.float32)
+    p = np.array(build_stem_patches(x))
+    xs = np.array(x)[0]
+    ch, g = 8, 2
+    assert p.shape == (1, ch * g, 72)
+    for i in (0, 3, 7):
+        for gg in range(g):
+            row = p[0, i * g + gg]
+            want_mid = xs[2 * i, 8 * gg:8 * gg + 8].reshape(-1)
+            np.testing.assert_array_equal(row[24:48], want_mid)
+            want_lo = (np.zeros(24, np.float32) if i == 0
+                       else xs[2 * i - 1, 8 * gg:8 * gg + 8].reshape(-1))
+            np.testing.assert_array_equal(row[:24], want_lo)
+            np.testing.assert_array_equal(
+                row[48:], xs[2 * i + 1, 8 * gg:8 * gg + 8].reshape(-1))
+
+
+def test_stem_supported_gates():
+    assert stem_supported(224, 24)
+    assert stem_supported(160, 24)
+    assert not stem_supported(225, 24)   # W % 8 != 0
+    assert not stem_supported(224, 64)   # 4F > 128 output lanes
+
+
+def test_encode_fused_matches_unfused():
+    # full integration: SATModel.encode with the fused stem kernel forced on
+    # must reproduce the unfused flax path (both fp32 here)
+    from sat_tpu.config import SATConfig
+    from sat_tpu.models.model import SATModel
+
+    v = 40
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    cfg = SATConfig(encoder_arch="shufflenet_v2_x0_5", input_size=64,
+                    encoder_dim=24, vocab_size=v, vocab_stoi=stoi,
+                    embed_dim=12, attention_dim=12, decoder_dim=24)
+    model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.default_rng(5).random((2, 64, 64, 3)),
+                       jnp.float32)
+    base = model.encode(variables, imgs, train=False)
+    model.cfg = model.cfg.replace(fused_stem=True)
+    fused = model.encode(variables, imgs, train=False)
+    np.testing.assert_allclose(np.array(fused), np.array(base),
+                               rtol=2e-4, atol=2e-4)
