@@ -60,6 +60,31 @@ def stem_supported(input_size: int, features: int) -> bool:
             and 4 * features <= 128)
 
 
+# arch prefix -> (conv param, bn param, activation, maxpool after stem).
+# All share the 3x3/s2/p1 C_in=3 stem shape; only the epilogue differs.
+STEM_PLANS = {
+    "shufflenet": ("conv1", "bn1", "relu", True),
+    "mobilenet_v2": ("stem", "stem_bn", "relu6", False),
+    "mobilenet_v3": ("stem", "stem_bn", "hswish", False),
+    "mnasnet": ("stem", "stem_bn", "relu", False),
+}
+
+
+def stem_plan(arch: str):
+    """(conv_name, bn_name, act, pool) for archs the fused kernel covers."""
+    for prefix, plan in STEM_PLANS.items():
+        if arch.startswith(prefix):
+            return plan
+    return None
+
+
+_ACTS = {
+    "relu": lambda y: jnp.maximum(y, 0.0),
+    "relu6": lambda y: jnp.clip(y, 0.0, 6.0),
+    "hswish": lambda y: y * jnp.clip(y + 3.0, 0.0, 6.0) * (1.0 / 6.0),
+}
+
+
 def build_stem_patches(x: jax.Array) -> jax.Array:
     """(B, H, W, 3) -> (B, R, 72) overlapping row-triplet patches.
 
@@ -120,7 +145,8 @@ def pack_stem_weights(kernel: jax.Array, bn_scale: jax.Array,
 
 
 def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
-            *, g: int, ch: int, f: int, compute_dtype):
+            *, g: int, ch: int, f: int, compute_dtype, act: str = "relu",
+            pool: bool = True):
     f32 = jnp.float32
     P = p_ref[0]                                          # (R, 72)
     R = P.shape[0]
@@ -141,8 +167,13 @@ def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
             else jax.lax.Precision.DEFAULT)
     Y = jnp.dot(A, w_ref[:], precision=prec,
                 preferred_element_type=f32)               # (R, 4F)
-    Y = jnp.maximum(Y + bnb_ref[:], 0.0).astype(compute_dtype)
+    Y = _ACTS[act](Y + bnb_ref[:]).astype(compute_dtype)
+    if not pool:
+        o_ref[0] = Y
+        return
     # ---- maxpool 3x3 stride 2 pad 1, fully in VMEM --------------------
+    # (pool composes only with relu: the 0-padded borders rely on
+    # activations being >= 0)
     # column max: j-1 / j / j+1 where j = 4*block + p; crossing p=0 / p=3
     # pulls the neighbouring block (previous / next patch row)
     ys_d = jnp.concatenate([jnp.zeros((1, 4 * f), compute_dtype), Y[:-1]], 0)
@@ -168,14 +199,15 @@ def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
 def fused_stem_pool(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
                     bn_bias: jax.Array, bn_mean: jax.Array, bn_var: jax.Array,
                     eps: float, mean: Tuple[float, ...],
-                    std: Tuple[float, ...],
-                    interpret: bool = None) -> jax.Array:
-    """normalize -> conv3x3/s2/p1 -> BN(inference) -> ReLU -> maxpool3x3/s2/p1
-    as one fused kernel.  x: (B, H, W, 3) raw [0,1]; returns (B, H/4, W/4, F).
-    """
+                    std: Tuple[float, ...], act: str = "relu",
+                    pool: bool = True, interpret: bool = None) -> jax.Array:
+    """normalize -> conv3x3/s2/p1 -> BN(inference) -> act [-> maxpool3x3/s2/p1]
+    as one fused kernel.  x: (B, H, W, 3) raw [0,1]; returns
+    (B, H/4, W/4, F) with pool else (B, H/2, W/2, F)."""
     b, h, w, _ = x.shape
     f = kernel.shape[-1]
     assert stem_supported(h, f) and h == w, (h, w, f)
+    assert act in _ACTS and (act == "relu" or not pool)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     cd = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
@@ -184,8 +216,9 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
         kernel, bn_scale, bn_bias, bn_mean, bn_var, eps, mean, std, dtype=cd)
     ch, g = h // 2, w // 8
     r = ch * g
-    ro = (ch // 2) * g
-    kern = functools.partial(_kernel, g=g, ch=ch, f=f, compute_dtype=cd)
+    ro, lo = ((ch // 2) * g, 2 * f) if pool else (r, 4 * f)
+    kern = functools.partial(_kernel, g=g, ch=ch, f=f, compute_dtype=cd,
+                             act=act, pool=pool)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
@@ -194,21 +227,23 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
         in_specs=[pl.BlockSpec((1, r, 72), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   full(w81), full(bnb), full(nsc), full(nsh)],
-        out_specs=pl.BlockSpec((1, ro, 2 * f), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, ro, lo), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ro, 2 * f), cd),
+        out_shape=jax.ShapeDtypeStruct((b, ro, lo), cd),
         interpret=interpret,
     )(p, w81, bnb, nsc, nsh)
-    # rows (r, g) x lanes (p', f) -> (B, H/4, W/4, F): out col q = 2g + p'
-    return out.reshape(b, ch // 2, g, 2, f).reshape(
-        b, ch // 2, 2 * g, f).astype(x.dtype)
+    # rows (r, g) x lanes (p, f) -> NHWC: out col = (4 if nopool else 2)*g + p
+    npos = 2 if pool else 4
+    rows = ch // 2 if pool else ch
+    return out.reshape(b, rows, g, npos, f).reshape(
+        b, rows, npos * g, f).astype(x.dtype)
 
 
 def stem_pool_reference(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
                         bn_bias: jax.Array, bn_mean: jax.Array,
                         bn_var: jax.Array, eps: float,
-                        mean: Tuple[float, ...],
-                        std: Tuple[float, ...]) -> jax.Array:
+                        mean: Tuple[float, ...], std: Tuple[float, ...],
+                        act: str = "relu", pool: bool = True) -> jax.Array:
     """Unfused jnp oracle: the exact op sequence the kernel replaces."""
     from flax import linen as nn
     m = jnp.asarray(mean, x.dtype)
@@ -221,5 +256,7 @@ def stem_pool_reference(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
                                      preferred_element_type=jnp.float32)
     sc = bn_scale / jnp.sqrt(bn_var + eps)
     y = y * sc + (bn_bias - bn_mean * sc)
-    y = nn.relu(y).astype(x.dtype)
+    y = _ACTS[act](y).astype(x.dtype)
+    if not pool:
+        return y
     return nn.max_pool(y, (3, 3), (2, 2), padding=((1, 1), (1, 1)))

@@ -319,16 +319,19 @@ class MobileNetV2(nn.Module):
         (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
-        if self.fold_norm is not None:
-            x = FoldedStemConv(32, self.fold_norm[0], self.fold_norm[1],
-                               name="stem")(x)
+        if stem_out is not None:
+            x = stem_out  # fused Pallas stem (kernels/stem.py)
         else:
-            x = nn.Conv(32, (3, 3), (2, 2), padding=1, use_bias=False,
-                        name="stem")(x)
-        x = BN(use_running_average=ra, name="stem_bn")(x)
-        x = jax.nn.relu6(x)
+            if self.fold_norm is not None:
+                x = FoldedStemConv(32, self.fold_norm[0], self.fold_norm[1],
+                                   name="stem")(x)
+            else:
+                x = nn.Conv(32, (3, 3), (2, 2), padding=1, use_bias=False,
+                            name="stem")(x)
+            x = BN(use_running_average=ra, name="stem_bn")(x)
+            x = jax.nn.relu6(x)
         idx = 0
         for t, ch, n, s in self.settings:
             for j in range(n):
@@ -406,16 +409,19 @@ class MobileNetV3(nn.Module):
     fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
-        if self.fold_norm is not None:
-            x = FoldedStemConv(16, self.fold_norm[0], self.fold_norm[1],
-                               name="stem")(x)
+        if stem_out is not None:
+            x = stem_out  # fused Pallas stem (kernels/stem.py)
         else:
-            x = nn.Conv(16, (3, 3), (2, 2), padding=1, use_bias=False,
-                        name="stem")(x)
-        x = BN(use_running_average=ra, name="stem_bn")(x)
-        x = hswish(x)
+            if self.fold_norm is not None:
+                x = FoldedStemConv(16, self.fold_norm[0], self.fold_norm[1],
+                                   name="stem")(x)
+            else:
+                x = nn.Conv(16, (3, 3), (2, 2), padding=1, use_bias=False,
+                            name="stem")(x)
+            x = BN(use_running_average=ra, name="stem_bn")(x)
+            x = hswish(x)
         for i, (k, e, c, se, hs, s) in enumerate(self.settings):
             x = MobileNetV3Block(k, e, c, se, hs, s, self.train, name=f"block{i}")(x)
         x = nn.Conv(self.last_channels, (1, 1), use_bias=False, name="head")(x)
@@ -585,18 +591,21 @@ class MNASNet(nn.Module):
     fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
         depths = [_round8(d * self.alpha)
                   for d in (32, 16, 24, 40, 80, 96, 192, 320)]
-        if self.fold_norm is not None:
-            x = FoldedStemConv(depths[0], self.fold_norm[0], self.fold_norm[1],
-                               name="stem")(x)
+        if stem_out is not None:
+            x = stem_out  # fused Pallas stem (kernels/stem.py)
         else:
-            x = nn.Conv(depths[0], (3, 3), (2, 2), padding=1, use_bias=False,
-                        name="stem")(x)
-        x = BN(use_running_average=ra, name="stem_bn")(x)
-        x = nn.relu(x)
+            if self.fold_norm is not None:
+                x = FoldedStemConv(depths[0], self.fold_norm[0],
+                                   self.fold_norm[1], name="stem")(x)
+            else:
+                x = nn.Conv(depths[0], (3, 3), (2, 2), padding=1,
+                            use_bias=False, name="stem")(x)
+            x = BN(use_running_average=ra, name="stem_bn")(x)
+            x = nn.relu(x)
         # separable: dw 3x3 + pw 1x1 -> depths[1]
         x = nn.Conv(depths[0], (3, 3), padding=1, feature_group_count=depths[0],
                     use_bias=False, name="sep_dw")(x)

@@ -88,26 +88,30 @@ class SATModel:
                         images: jax.Array) -> Optional[jax.Array]:
         """Run the fused Pallas stem kernel (kernels/stem.py) when enabled.
 
-        Returns the pooled stem output the backbone should resume from, or
-        None for the unfused flax path.  Auto policy (cfg.fused_stem=None):
-        on for supported shufflenet-shaped stems when running on TPU —
+        Returns the stem output the backbone should resume from, or None for
+        the unfused flax path.  Auto policy (cfg.fused_stem=None): on for
+        supported stems (kernels/stem.py STEM_PLANS) when running on TPU —
         fp32-exact / bf16-rounding-equivalent to the unfused path
         (tests/test_stem_kernel.py), so this is purely a scheduling choice."""
-        from ..kernels.stem import fused_stem_pool, stem_supported
+        from ..kernels.stem import fused_stem_pool, stem_plan, stem_supported
         cfg = self.cfg
         enabled = cfg.fused_stem
         if enabled is None:
             enabled = jax.default_backend() not in ("cpu",)
+        plan = stem_plan(cfg.encoder_arch)
         b, h, w, c = images.shape
-        if (not enabled or not cfg.encoder_arch.startswith("shufflenet")
-                or h != w or c != 3 or not stem_supported(h, 24)):
+        if not enabled or plan is None or h != w or c != 3:
             return None
+        conv_name, bn_name, act, pool = plan
         bp = variables["params"]["encoder"]["backbone"]
         bs = variables["state"]["batch_stats"]["backbone"]
+        kernel = bp[conv_name]["kernel"]
+        if not stem_supported(h, kernel.shape[-1]):
+            return None
         return fused_stem_pool(
-            images, bp["conv1"]["kernel"], bp["bn1"]["scale"],
-            bp["bn1"]["bias"], bs["bn1"]["mean"], bs["bn1"]["var"],
-            1e-5, cfg.mean, cfg.std)
+            images, kernel, bp[bn_name]["scale"], bp[bn_name]["bias"],
+            bs[bn_name]["mean"], bs[bn_name]["var"], 1e-5, cfg.mean, cfg.std,
+            act=act, pool=pool)
 
     # -- inference API (reference: SAT.caption at model.py:214-235) --------
 

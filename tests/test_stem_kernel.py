@@ -62,6 +62,23 @@ def test_fused_stem_small_features():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("act,f", [("relu6", 32), ("hswish", 16),
+                                   ("relu", 32)])
+def test_fused_stem_nopool_acts(act, f):
+    # mobilenet_v2 (relu6), mobilenet_v3 (hswish), mnasnet (relu) stems:
+    # conv+BN+act with no maxpool
+    rng = np.random.default_rng(7)
+    kernel, sc, bb, mu, var = _random_stem(rng, f=f)
+    x = jnp.asarray(rng.random((2, 48, 48, 3)), jnp.float32)
+    want = stem_pool_reference(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD,
+                               act=act, pool=False)
+    got = fused_stem_pool(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD,
+                          act=act, pool=False)
+    assert got.shape == (2, 24, 24, f)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_patch_builder_layout():
     # row (i, g) = [row 2i-1 | row 2i | row 2i+1], 8 px x 3 ch each
     rng = np.random.default_rng(3)
@@ -103,6 +120,28 @@ def test_encode_fused_matches_unfused():
                     embed_dim=12, attention_dim=12, decoder_dim=24)
     model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
     imgs = jnp.asarray(np.random.default_rng(5).random((2, 64, 64, 3)),
+                       jnp.float32)
+    base = model.encode(variables, imgs, train=False)
+    model.cfg = model.cfg.replace(fused_stem=True)
+    fused = model.encode(variables, imgs, train=False)
+    np.testing.assert_allclose(np.array(fused), np.array(base),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("arch", ["mobilenet_v3_small", "mobilenet_v2",
+                                  "mnasnet0_5"])
+def test_encode_fused_matches_unfused_nopool_archs(arch):
+    from sat_tpu.config import SATConfig
+    from sat_tpu.models.model import SATModel
+
+    v = 40
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    cfg = SATConfig(encoder_arch=arch, input_size=64, encoder_dim=24,
+                    vocab_size=v, vocab_stoi=stoi, embed_dim=12,
+                    attention_dim=12, decoder_dim=24)
+    model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.default_rng(6).random((2, 64, 64, 3)),
                        jnp.float32)
     base = model.encode(variables, imgs, train=False)
     model.cfg = model.cfg.replace(fused_stem=True)
