@@ -97,7 +97,12 @@ class SATModel:
         cfg = self.cfg
         enabled = cfg.fused_stem
         if enabled is None:
-            enabled = jax.default_backend() not in ("cpu",)
+            # auto: single TPU chip only — under a multi-device mesh the
+            # pallas_call would need explicit GSPMD partitioning rules
+            # (force with cfg.fused_stem=True if the mesh shards only axes
+            # the kernel never touches)
+            enabled = (jax.default_backend() not in ("cpu",)
+                       and jax.device_count() == 1)
         plan = stem_plan(cfg.encoder_arch)
         b, h, w, c = images.shape
         if not enabled or plan is None or h != w or c != 3:
