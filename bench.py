@@ -245,6 +245,9 @@ def main(argv=None):
                         "they tie (step) or trail (loop) the XLA scan path, "
                         "which fuses this workload extremely well — default "
                         "off (also avoids ~2min of Mosaic compiles)")
+    p.add_argument("--no_fused_stem", action="store_true",
+                   help="A/B lever: disable the fused Pallas stem kernel "
+                        "(kernels/stem.py; auto-on for supported stems)")
     p.add_argument("--beamk", default=1, type=int,
                    help="beam width; >1 measures full beam-search captioning "
                         "(LN rescoring) instead of greedy — the reference's "
@@ -305,6 +308,8 @@ def main(argv=None):
     model, variables = build_model(args.arch, args.input_size,
                                    args.vocab_size, args.precision,
                                    args.encoder_dim)
+    if args.no_fused_stem:
+        model.cfg = model.cfg.replace(fused_stem=False)
 
     # secondary metric: p50 single-image caption latency (the reference's
     # serial per-image loop prints "Inference in ... ms" — visualize.ipynb)

@@ -1,49 +1,48 @@
-"""Fused Pallas stem kernel: normalize + conv3x3/s2 + BN + ReLU + maxpool3x3/s2
-in ONE kernel pass.
+"""Fused Pallas stem kernel: normalize + stem conv (3x3 or 7x7, stride 2) +
+BN + activation [+ maxpool 3x3/s2] in ONE kernel pass.
 
 This is the TPU-native replacement for the reference encoder's entry sequence
-(reference: model.py:59-62 Normalize as the first layer; shufflenet stem =
-conv1 3x3/s2 + BN + ReLU + maxpool 3x3/s2).  As separate XLA ops the stem is
+(reference: model.py:59-62 Normalize as the first layer; each torchvision
+backbone's stem conv + BN + act (+ maxpool)).  As separate XLA ops the stem is
 the single largest line item of the flagship greedy-decode step (profiled at
-b512: conv 0.79 ms + pool/BN/ReLU pass 0.46 ms of a ~4.7 ms step = 26%),
-because
+b512 shufflenet: conv 0.79 ms + pool/BN/ReLU pass 0.46 ms of a ~4.7 ms step =
+26%), because
 
   * XLA cannot fuse elementwise ops or pooling into a convolution on TPU
     (convs are not fusion producers/consumers), so the conv output makes a
     full HBM round trip (154 MB @ b512) before the pool reads it back, and
-  * the raw conv contracts only 3*3*3 = 27 input values per output, using
-    ~5% of the MXU's 128-lane contraction depth.
+  * a 3-channel stem conv contracts only kh*kw*3 input values per output
+    (27 for 3x3) — ~4% of the MXU's 128-lane contraction depth.
 
 The kernel fixes both at once:
 
   1. An XLA-side patch builder (``build_stem_patches``) reshapes the image
-     into overlapping row-triplet blocks — all FREE reshapes plus one fused
-     shift/concat pass — giving a (B, R, 72) patch tensor where each row
-     holds the 3-row x 8-pixel x 3-channel input slab that produces FOUR
-     adjacent conv outputs.
-  2. The kernel adds the 9 left-carry lanes (the 3 pixels shared with the
-     previous slab), normalizes in-register, and runs ONE MXU dot
-     (R, 81) x (81, 4F) per image — 81/128 contraction and 96/128 output
-     utilization vs 27/128 x 24/128 for the naive conv — then applies the
-     folded BN bias, ReLU, and the full 3x3/s2 maxpool without any
-     intermediate leaving VMEM.
+     into overlapping row-slab blocks — all FREE reshapes plus one fused
+     shift/concat pass — giving a (B, R, K_main) patch tensor where each row
+     holds the kh-row x blk_px-pixel x 3-channel input slab that produces
+     ``npos`` adjacent conv outputs.
+  2. The kernel appends the left/right carry lanes (pixels shared with the
+     neighbouring slabs), normalizes in-register, and runs ONE MXU dot
+     (R, K) x (K, npos*F) per image — e.g. 81/128 x 96/128 utilization for
+     the shufflenet stem vs 27/128 x 24/128 for the naive conv — then
+     applies the folded BN bias, the activation, and (for pool stems) the
+     full 3x3/s2 maxpool without any intermediate leaving VMEM.
 
-Border semantics are exact: patches are zero where the conv pad is zero
-*after* normalization (top-row mask + left-carry mask), matching
-normalize-then-zero-pad; the pool's -inf padding is equivalent to 0 on
-post-ReLU values.
+Geometries (``_geom``): 3x3 stems pack 4 outputs/row (shufflenet F=24,
+mobilenet F=16/32, mnasnet); 7x7 stems pack 2 (resnet/resnext/wide_resnet/
+densenet F=64).  Border semantics are exact: patch positions where the conv
+pad is zero are re-zeroed AFTER normalization (matching normalize-then-pad),
+and the pool's -inf padding is equivalent to 0 on post-ReLU values.
 
-Scope: stems of the shufflenet family shape (kernel 3x3, stride 2, pad 1,
-C_in=3, followed by maxpool 3x3/s2/p1), inference path.  Training keeps the
-XLA stem (autodiff).  Numerics: fp32 exact vs the unfused path (HIGHEST
-matmul precision), bf16 within normal bf16 rounding — both pinned by
-tests/test_stem_kernel.py.
+Scope: inference path; training keeps the XLA stem (autodiff).  Numerics:
+fp32 exact vs the unfused path (HIGHEST matmul precision), bf16 within
+normal bf16 rounding — both pinned by tests/test_stem_kernel.py.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -52,26 +51,48 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def stem_supported(input_size: int, features: int) -> bool:
-    """The fused kernel handles square inputs with W divisible by 8 (patch
-    blocks are 8 px) and H by 4 (conv rows pair + pool stride), and stem
-    widths with 4*F <= 128 output lanes (shufflenet F=24 -> 96)."""
-    return (input_size % 8 == 0 and input_size >= 32
-            and 4 * features <= 128)
+class _Geom(NamedTuple):
+    kh: int       # square stem kernel size
+    blk_px: int   # input pixels per patch block
+    npos: int     # conv outputs per block (= blk_px // 2)
+    lpx: int      # left-carry pixels (kernel reach past the block start)
+    rpx: int      # right-carry pixels
 
 
-# arch prefix -> (conv param, bn param, activation, maxpool after stem).
-# All share the 3x3/s2/p1 C_in=3 stem shape; only the epilogue differs.
+def _geom(kh: int, f: int) -> Optional[_Geom]:
+    """Pick the widest packing whose output lanes fit the 128-lane MXU."""
+    if kh == 3:
+        if 4 * f <= 128:
+            return _Geom(3, 8, 4, 1, 0)
+        if 2 * f <= 128:
+            return _Geom(3, 4, 2, 1, 0)
+    if kh == 7 and 2 * f <= 128:
+        return _Geom(7, 4, 2, 3, 2)
+    return None
+
+
+def stem_supported(input_size: int, features: int, kernel_size: int = 3) -> bool:
+    g = _geom(kernel_size, features)
+    return (g is not None and input_size >= 32
+            and input_size % (2 * g.blk_px) == 0 and input_size % 4 == 0)
+
+
+# arch prefix -> (conv param, bn param, activation, maxpool, kernel size).
+# Stem shapes: conv kh x kh / stride 2 / pad (kh-1)//2, C_in=3.
 STEM_PLANS = {
-    "shufflenet": ("conv1", "bn1", "relu", True),
-    "mobilenet_v2": ("stem", "stem_bn", "relu6", False),
-    "mobilenet_v3": ("stem", "stem_bn", "hswish", False),
-    "mnasnet": ("stem", "stem_bn", "relu", False),
+    "shufflenet": ("conv1", "bn1", "relu", True, 3),
+    "mobilenet_v2": ("stem", "stem_bn", "relu6", False, 3),
+    "mobilenet_v3": ("stem", "stem_bn", "hswish", False, 3),
+    "mnasnet": ("stem", "stem_bn", "relu", False, 3),
+    "resnet": ("conv1", "bn1", "relu", True, 7),
+    "resnext": ("conv1", "bn1", "relu", True, 7),
+    "wide_resnet": ("conv1", "bn1", "relu", True, 7),
+    "densenet": ("conv0", "norm0", "relu", True, 7),
 }
 
 
 def stem_plan(arch: str):
-    """(conv_name, bn_name, act, pool) for archs the fused kernel covers."""
+    """(conv, bn, act, pool, kh) for archs the fused kernel covers."""
     for prefix, plan in STEM_PLANS.items():
         if arch.startswith(prefix):
             return plan
@@ -85,88 +106,122 @@ _ACTS = {
 }
 
 
-def build_stem_patches(x: jax.Array) -> jax.Array:
-    """(B, H, W, 3) -> (B, R, 72) overlapping row-triplet patches.
+def build_stem_patches(x: jax.Array, geom: _Geom = _geom(3, 24)) -> jax.Array:
+    """(B, H, W, 3) -> (B, R, kh*3*blk_px) overlapping row-slab patches.
 
-    Row (i, g) of R = (H/2)*(W/8) holds, for conv-output row i and 8-pixel
-    column block g: [row 2i-1 | row 2i | row 2i+1], 24 elements (8 px x 3 ch)
-    each, zeros for the top conv pad.  Pure reshapes plus one fused
-    shift+concat (reads the image once, writes 1.5x — XLA fuses it with any
-    upstream elementwise producer)."""
+    Row (i, g) of R = (H/2)*(W/blk_px) holds, for conv-output row i and
+    pixel block g, input rows 2i-pad .. 2i+pad over the block's blk_px
+    pixels (3 channels interleaved), zeros where rows fall outside the
+    image.  Pure reshapes plus one fused shift+concat pass."""
     b, h, w, c = x.shape
-    assert c == 3 and w % 8 == 0 and h % 2 == 0
-    ch, g = h // 2, w // 8
-    xp = x.reshape(b, ch, 2, g, 24)
-    a0 = xp[:, :, 0]                                 # rows 2i      (B,CH,G,24)
-    a1 = xp[:, :, 1]                                 # rows 2i+1
-    am1 = jnp.concatenate(                           # rows 2i-1 (zero top pad)
-        [jnp.zeros_like(a1[:, :1]), a1[:, :-1]], axis=1)
-    p = jnp.concatenate([am1, a0, a1], axis=-1)      # (B, CH, G, 72)
-    return p.reshape(b, ch * g, 72)
+    kh, blk = geom.kh, geom.blk_px
+    assert c == 3 and w % blk == 0 and h % 2 == 0
+    ch, g = h // 2, w // blk
+    pad = (kh - 1) // 2
+    xp = x.reshape(b, ch, 2, g, 3 * blk)
+    halves = (xp[:, :, 0], xp[:, :, 1])          # rows 2i / 2i+1
+    slabs = []
+    for dy in range(kh):
+        off = dy - pad
+        half = off % 2                            # python %: always 0/1
+        s = (off - half) // 2                     # row-pair shift
+        sl = halves[half]
+        if s < 0:
+            sl = jnp.concatenate(
+                [jnp.zeros_like(sl[:, :(-s)]), sl[:, :s]], axis=1)
+        elif s > 0:
+            sl = jnp.concatenate(
+                [sl[:, s:], jnp.zeros_like(sl[:, :s])], axis=1)
+        slabs.append(sl)
+    p = jnp.concatenate(slabs, axis=-1)           # (B, CH, G, kh*3*blk)
+    return p.reshape(b, ch * g, kh * 3 * blk)
 
 
 def pack_stem_weights(kernel: jax.Array, bn_scale: jax.Array,
                       bn_bias: jax.Array, bn_mean: jax.Array,
                       bn_var: jax.Array, eps: float,
                       mean: Tuple[float, ...], std: Tuple[float, ...],
-                      dtype=jnp.bfloat16):
+                      geom: _Geom, dtype=jnp.bfloat16):
     """Fold BN into the conv and lay the kernel out for the patch dot.
 
-    kernel: (3, 3, 3, F) HWIO.  Returns (w81 (81, 4F), bnb (1, 4F),
-    nsc (1, 72), nsh (1, 72)): the patch dot computes, for output column
-    group positions p=0..3, ``relu(dot(norm(patch), w81) + bnb)`` ==
-    ``relu(bn(conv(normalize(x))))``."""
-    kh, kw, cin, f = kernel.shape
-    assert (kh, kw, cin) == (3, 3, 3) and 4 * f <= 128
+    kernel: (kh, kh, 3, F) HWIO.  Returns (wk (K, npos*F), bnb (1, npos*F),
+    nsc (1, kh*3*blk), nsh (1, kh*3*blk)): the patch dot computes
+    ``act(dot(norm(patch), wk) + bnb)`` == ``act(bn(conv(normalize(x))))``."""
+    kh, blk, npos, lpx, rpx = geom
+    khk, kwk, cin, f = kernel.shape
+    assert (khk, kwk, cin) == (kh, kh, 3) and npos * f <= 128
+    pad = (kh - 1) // 2
+    main, lc = kh * 3 * blk, kh * 3 * lpx
+    k_tot = main + lc + kh * 3 * rpx
     sc = bn_scale / jnp.sqrt(bn_var + eps)                    # (F,)
     kf = kernel.astype(jnp.float32) * sc[None, None, None, :]
-    # row index for tap (dy, dx) of output position p: in-block element when
-    # (p, dx) != (0, 0), else one of the 9 carry lanes appended at 72..80
-    rows = np.zeros((3, 3, 3, 4), np.int32)
-    for dy in range(3):
-        for dx in range(3):
+    rows = np.zeros((kh, kh, 3, npos), np.int32)
+    for dy in range(kh):
+        for dx in range(kh):
             for c in range(3):
-                for p in range(4):
-                    if p == 0 and dx == 0:
-                        rows[dy, dx, c, p] = 72 + 3 * dy + c
+                for p in range(npos):
+                    px = 2 * p + dx - pad
+                    if 0 <= px < blk:
+                        rows[dy, dx, c, p] = dy * 3 * blk + 3 * px + c
+                    elif px < 0:
+                        rows[dy, dx, c, p] = (main + dy * 3 * lpx
+                                              + 3 * (px + lpx) + c)
                     else:
-                        rows[dy, dx, c, p] = 24 * dy + 3 * (2 * p + dx - 1) + c
-    cols = np.arange(4)[None, None, None, :, None] * f + np.arange(f)
-    w81 = jnp.zeros((81, 4 * f), jnp.float32)
-    vals = jnp.broadcast_to(kf[:, :, :, None, :], (3, 3, 3, 4, f))
-    w81 = w81.at[np.broadcast_to(rows[..., None], vals.shape),
-                 np.broadcast_to(cols, vals.shape)].set(vals)
-    bnb = jnp.tile(bn_bias - bn_mean * sc, 4)[None, :]        # (1, 4F)
+                        rows[dy, dx, c, p] = (main + lc + dy * 3 * rpx
+                                              + 3 * (px - blk) + c)
+    cols = (np.arange(npos)[None, None, None, :, None] * f + np.arange(f))
+    wk = jnp.zeros((k_tot, npos * f), jnp.float32)
+    vals = jnp.broadcast_to(kf[:, :, :, None, :], (kh, kh, 3, npos, f))
+    wk = wk.at[np.broadcast_to(rows[..., None], vals.shape),
+               np.broadcast_to(cols, vals.shape)].set(vals)
+    bnb = jnp.tile(bn_bias - bn_mean * sc, npos)[None, :]     # (1, npos*F)
     m3 = np.asarray(mean, np.float32)
     s3 = np.asarray(std, np.float32)
-    nsc = jnp.asarray(np.tile(1.0 / s3, 24), jnp.float32)[None, :]   # (1,72)
-    nsh = jnp.asarray(np.tile(-m3 / s3, 24), jnp.float32)[None, :]
-    return w81.astype(dtype), bnb.astype(jnp.float32), nsc, nsh
+    nsc = jnp.asarray(np.tile(1.0 / s3, kh * blk), jnp.float32)[None, :]
+    nsh = jnp.asarray(np.tile(-m3 / s3, kh * blk), jnp.float32)[None, :]
+    return wk.astype(dtype), bnb.astype(jnp.float32), nsc, nsh
 
 
 def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
-            *, g: int, ch: int, f: int, compute_dtype, act: str = "relu",
-            pool: bool = True):
+            *, geom: _Geom, g: int, ch: int, f: int, compute_dtype,
+            act: str, pool: bool):
     f32 = jnp.float32
-    P = p_ref[0]                                          # (R, 72)
+    kh, blk, npos, lpx, rpx = geom
+    pad = (kh - 1) // 2
+    n3 = 3 * blk
+    P = p_ref[0]                                          # (R, kh*3*blk)
     R = P.shape[0]
     xn = P.astype(f32) * nsc_ref[:] + nsh_ref[:]          # normalize
     ri = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    li = jax.lax.broadcasted_iota(jnp.int32, (1, 72), 1)
-    # top conv pad: conv row 0's "row -1" lanes must be zero AFTER normalize
-    xn = jnp.where((ri < g) & (li < 24), 0.0, xn)
+    ib = ri // g                                          # conv row index
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, kh * n3), 1)
+    # conv pad rows must be zero AFTER normalize (the builder zero-fills
+    # them; normalize shifted that — re-zero per dy slab where the source
+    # row 2i + dy - pad falls outside [0, 2*ch-1])
+    for dy in range(kh):
+        off = dy - pad
+        if off >= 0 and 2 * (ch - 1) + off <= 2 * ch - 1:
+            continue                                      # always valid
+        bad = (2 * ib + off < 0) | (2 * ib + off > 2 * ch - 1)
+        lane = (li >= dy * n3) & (li < (dy + 1) * n3)
+        xn = jnp.where(bad & lane, 0.0, xn)
     xn = xn.astype(compute_dtype)
-    # left-carry lanes: last 3 px of the previous column block (same conv
-    # row => previous patch row), zeroed at g==0 (left conv pad)
-    zrow = jnp.zeros((1, 72), compute_dtype)
-    pm = jnp.concatenate([zrow, xn[:-1]], axis=0)
-    pm = jnp.where((ri % g) == 0, jnp.asarray(0, compute_dtype), pm)
-    A = jnp.concatenate([xn, pm[:, 21:24], pm[:, 45:48], pm[:, 69:72]],
-                        axis=1)                           # (R, 81)
+    zrow = jnp.zeros((1, kh * n3), compute_dtype)
+    parts = [xn]
+    if lpx:  # previous block's last lpx pixels, zeroed at g==0 (left pad)
+        pm = jnp.concatenate([zrow, xn[:-1]], axis=0)
+        pm = jnp.where((ri % g) == 0, jnp.asarray(0, compute_dtype), pm)
+        parts += [pm[:, dy * n3 + 3 * (blk - lpx):(dy + 1) * n3]
+                  for dy in range(kh)]
+    if rpx:  # next block's first rpx pixels, zeroed at g==G-1 (right pad)
+        pu = jnp.concatenate([xn[1:], zrow], axis=0)
+        pu = jnp.where((ri % g) == g - 1, jnp.asarray(0, compute_dtype), pu)
+        parts += [pu[:, dy * n3:dy * n3 + 3 * rpx] for dy in range(kh)]
+    A = jnp.concatenate(parts, axis=1)                    # (R, K)
     prec = (jax.lax.Precision.HIGHEST if compute_dtype == f32
             else jax.lax.Precision.DEFAULT)
     Y = jnp.dot(A, w_ref[:], precision=prec,
-                preferred_element_type=f32)               # (R, 4F)
+                preferred_element_type=f32)               # (R, npos*F)
     Y = _ACTS[act](Y + bnb_ref[:]).astype(compute_dtype)
     if not pool:
         o_ref[0] = Y
@@ -174,17 +229,21 @@ def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
     # ---- maxpool 3x3 stride 2 pad 1, fully in VMEM --------------------
     # (pool composes only with relu: the 0-padded borders rely on
     # activations being >= 0)
-    # column max: j-1 / j / j+1 where j = 4*block + p; crossing p=0 / p=3
-    # pulls the neighbouring block (previous / next patch row)
-    ys_d = jnp.concatenate([jnp.zeros((1, 4 * f), compute_dtype), Y[:-1]], 0)
+    # column max: j-1 / j / j+1 where j = npos*block + p; crossing p=0 /
+    # p=npos-1 pulls the neighbouring block (previous / next patch row)
+    nf = npos * f
+    ys_d = jnp.concatenate([jnp.zeros((1, nf), compute_dtype), Y[:-1]], 0)
     ys_d = jnp.where((ri % g) == 0, jnp.asarray(0, compute_dtype), ys_d)
-    ys_u = jnp.concatenate([Y[1:], jnp.zeros((1, 4 * f), compute_dtype)], 0)
+    ys_u = jnp.concatenate([Y[1:], jnp.zeros((1, nf), compute_dtype)], 0)
     ys_u = jnp.where((ri % g) == g - 1, jnp.asarray(0, compute_dtype), ys_u)
-    yl = jnp.concatenate([ys_d[:, 3 * f:], Y[:, :3 * f]], axis=1)
+    yl = jnp.concatenate([ys_d[:, (npos - 1) * f:], Y[:, :(npos - 1) * f]], 1)
     yr = jnp.concatenate([Y[:, f:], ys_u[:, :f]], axis=1)
-    cm = jnp.maximum(jnp.maximum(Y, yl), yr)              # (R, 4F)
+    cm = jnp.maximum(jnp.maximum(Y, yl), yr)              # (R, npos*F)
     # row max over conv rows 2r-1, 2r, 2r+1 then keep even columns
-    # (p in {0, 2} -> output lanes (p', f))
+    # (p even -> output lanes ((npos//2) blocks, f))
+    keep = lambda m: jnp.concatenate(
+        [m[:, 2 * k * f:(2 * k + 1) * f] for k in range(npos // 2)], axis=1) \
+        if npos > 2 else m[:, :f]
     for r in range(ch // 2):
         lo = (2 * r - 1) * g
         mid = cm[2 * r * g:(2 * r + 1) * g]
@@ -192,8 +251,7 @@ def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
         m = jnp.maximum(mid, hi)
         if lo >= 0:
             m = jnp.maximum(m, cm[lo:lo + g])
-        o_ref[0, r * g:(r + 1) * g, :] = jnp.concatenate(
-            [m[:, :f], m[:, 2 * f:3 * f]], axis=1)
+        o_ref[0, r * g:(r + 1) * g, :] = keep(m)
 
 
 def fused_stem_pool(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
@@ -201,42 +259,47 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
                     eps: float, mean: Tuple[float, ...],
                     std: Tuple[float, ...], act: str = "relu",
                     pool: bool = True, interpret: bool = None) -> jax.Array:
-    """normalize -> conv3x3/s2/p1 -> BN(inference) -> act [-> maxpool3x3/s2/p1]
+    """normalize -> conv/s2 -> BN(inference) -> act [-> maxpool3x3/s2/p1]
     as one fused kernel.  x: (B, H, W, 3) raw [0,1]; returns
     (B, H/4, W/4, F) with pool else (B, H/2, W/2, F)."""
     b, h, w, _ = x.shape
-    f = kernel.shape[-1]
-    assert stem_supported(h, f) and h == w, (h, w, f)
+    kh, f = kernel.shape[0], kernel.shape[-1]
+    geom = _geom(kh, f)
+    assert geom is not None and stem_supported(h, f, kh) and h == w, \
+        (h, w, kh, f)
     assert act in _ACTS and (act == "relu" or not pool)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     cd = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
-    p = build_stem_patches(x.astype(cd))
-    w81, bnb, nsc, nsh = pack_stem_weights(
-        kernel, bn_scale, bn_bias, bn_mean, bn_var, eps, mean, std, dtype=cd)
-    ch, g = h // 2, w // 8
+    p = build_stem_patches(x.astype(cd), geom)
+    wk, bnb, nsc, nsh = pack_stem_weights(
+        kernel, bn_scale, bn_bias, bn_mean, bn_var, eps, mean, std, geom,
+        dtype=cd)
+    ch, g = h // 2, w // geom.blk_px
     r = ch * g
-    ro, lo = ((ch // 2) * g, 2 * f) if pool else (r, 4 * f)
-    kern = functools.partial(_kernel, g=g, ch=ch, f=f, compute_dtype=cd,
-                             act=act, pool=pool)
+    npos = geom.npos
+    if pool:
+        ro, lo_l, rows, ncol = (ch // 2) * g, (npos // 2) * f, ch // 2, npos // 2
+    else:
+        ro, lo_l, rows, ncol = r, npos * f, ch, npos
+    kern = functools.partial(_kernel, geom=geom, g=g, ch=ch, f=f,
+                             compute_dtype=cd, act=act, pool=pool)
     full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
                                     memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, r, 72), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((1, r, p.shape[-1]), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  full(w81), full(bnb), full(nsc), full(nsh)],
-        out_specs=pl.BlockSpec((1, ro, lo), lambda i: (i, 0, 0),
+                  full(wk), full(bnb), full(nsc), full(nsh)],
+        out_specs=pl.BlockSpec((1, ro, lo_l), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, ro, lo), cd),
+        out_shape=jax.ShapeDtypeStruct((b, ro, lo_l), cd),
         interpret=interpret,
-    )(p, w81, bnb, nsc, nsh)
-    # rows (r, g) x lanes (p, f) -> NHWC: out col = (4 if nopool else 2)*g + p
-    npos = 2 if pool else 4
-    rows = ch // 2 if pool else ch
-    return out.reshape(b, rows, g, npos, f).reshape(
-        b, rows, npos * g, f).astype(x.dtype)
+    )(p, wk, bnb, nsc, nsh)
+    # rows (r, g) x lanes (p, f) -> NHWC: out col = ncol*g + p
+    return out.reshape(b, rows, g, ncol, f).reshape(
+        b, rows, ncol * g, f).astype(x.dtype)
 
 
 def stem_pool_reference(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
@@ -249,10 +312,12 @@ def stem_pool_reference(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
     m = jnp.asarray(mean, x.dtype)
     s = jnp.asarray(std, x.dtype)
     xn = (x - m) / s
+    pad = (kernel.shape[0] - 1) // 2
     dn = jax.lax.conv_dimension_numbers(xn.shape, kernel.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(xn, kernel.astype(x.dtype), (2, 2),
-                                     [(1, 1), (1, 1)], dimension_numbers=dn,
+                                     [(pad, pad), (pad, pad)],
+                                     dimension_numbers=dn,
                                      preferred_element_type=jnp.float32)
     sc = bn_scale / jnp.sqrt(bn_var + eps)
     y = y * sc + (bn_bias - bn_mean * sc)

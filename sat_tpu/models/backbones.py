@@ -98,16 +98,20 @@ class ResNet(nn.Module):
     fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
-    def __call__(self, x):
-        if self.fold_norm is not None:
-            x = FoldedStemConv(64, self.fold_norm[0], self.fold_norm[1],
-                               kernel_size=(7, 7), padding=3, name="conv1")(x)
+    def __call__(self, x, stem_out: Optional[jax.Array] = None):
+        if stem_out is not None:
+            x = stem_out  # fused Pallas stem (kernels/stem.py)
         else:
-            x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
-                        name="conv1")(x)
-        x = BN(use_running_average=not self.train, name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+            if self.fold_norm is not None:
+                x = FoldedStemConv(64, self.fold_norm[0], self.fold_norm[1],
+                                   kernel_size=(7, 7), padding=3,
+                                   name="conv1")(x)
+            else:
+                x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
+                            name="conv1")(x)
+            x = BN(use_running_average=not self.train, name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(self.stage_sizes):
             planes = 64 * (2 ** i)
             for j in range(n_blocks):
@@ -544,18 +548,21 @@ class DenseNet(nn.Module):
     fold_norm: Optional[Tuple[Tuple[float, ...], Tuple[float, ...]]] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
-        if self.fold_norm is not None:
-            x = FoldedStemConv(self.init_features, self.fold_norm[0],
-                               self.fold_norm[1], kernel_size=(7, 7),
-                               padding=3, name="conv0")(x)
+        if stem_out is not None:
+            x = stem_out  # fused Pallas stem (kernels/stem.py)
         else:
-            x = nn.Conv(self.init_features, (7, 7), (2, 2), padding=3,
-                        use_bias=False, name="conv0")(x)
-        x = BN(use_running_average=ra, name="norm0")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+            if self.fold_norm is not None:
+                x = FoldedStemConv(self.init_features, self.fold_norm[0],
+                                   self.fold_norm[1], kernel_size=(7, 7),
+                                   padding=3, name="conv0")(x)
+            else:
+                x = nn.Conv(self.init_features, (7, 7), (2, 2), padding=3,
+                            use_bias=False, name="conv0")(x)
+            x = BN(use_running_average=ra, name="norm0")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
         for i, n_layers in enumerate(self.block_config):
             for j in range(n_layers):
                 x = DenseLayer(self.growth, train=self.train,

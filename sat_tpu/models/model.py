@@ -107,11 +107,11 @@ class SATModel:
         b, h, w, c = images.shape
         if not enabled or plan is None or h != w or c != 3:
             return None
-        conv_name, bn_name, act, pool = plan
+        conv_name, bn_name, act, pool, kh = plan
         bp = variables["params"]["encoder"]["backbone"]
         bs = variables["state"]["batch_stats"]["backbone"]
         kernel = bp[conv_name]["kernel"]
-        if not stem_supported(h, kernel.shape[-1]):
+        if not stem_supported(h, kernel.shape[-1], kh):
             return None
         return fused_stem_pool(
             images, kernel, bp[bn_name]["scale"], bp[bn_name]["bias"],

@@ -18,8 +18,8 @@ MEAN = (0.485, 0.456, 0.406)
 STD = (0.229, 0.224, 0.225)
 
 
-def _random_stem(rng, f=24):
-    kernel = jnp.asarray(rng.normal(0, 0.2, (3, 3, 3, f)), jnp.float32)
+def _random_stem(rng, f=24, kh=3):
+    kernel = jnp.asarray(rng.normal(0, 0.2, (kh, kh, 3, f)), jnp.float32)
     sc = jnp.asarray(rng.uniform(0.5, 1.5, (f,)), jnp.float32)
     bb = jnp.asarray(rng.normal(0, 0.3, (f,)), jnp.float32)
     mu = jnp.asarray(rng.normal(0, 0.2, (f,)), jnp.float32)
@@ -102,8 +102,46 @@ def test_patch_builder_layout():
 def test_stem_supported_gates():
     assert stem_supported(224, 24)
     assert stem_supported(160, 24)
-    assert not stem_supported(225, 24)   # W % 8 != 0
-    assert not stem_supported(224, 64)   # 4F > 128 output lanes
+    assert not stem_supported(225, 24)    # W % 8 != 0
+    assert stem_supported(224, 64)        # falls back to 2-output packing
+    assert stem_supported(224, 64, 7)     # resnet/densenet stems
+    assert not stem_supported(224, 96, 7)  # densenet161: 2F > 128 lanes
+    assert not stem_supported(224, 24, 5)  # unknown kernel size
+
+
+@pytest.mark.parametrize("f,pool", [(64, True), (64, False)])
+def test_fused_stem_7x7(f, pool):
+    # resnet/resnext/wide_resnet/densenet stem: 7x7/s2/p3 F=64 (+ maxpool)
+    rng = np.random.default_rng(11)
+    kernel, sc, bb, mu, var = _random_stem(rng, f=f, kh=7)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    want = stem_pool_reference(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD,
+                               pool=pool)
+    got = fused_stem_pool(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD,
+                          pool=pool)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encode_fused_matches_unfused_resnet():
+    from sat_tpu.config import SATConfig
+    from sat_tpu.models.model import SATModel
+
+    v = 40
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    cfg = SATConfig(encoder_arch="resnet18", input_size=64, encoder_dim=24,
+                    vocab_size=v, vocab_stoi=stoi, embed_dim=12,
+                    attention_dim=12, decoder_dim=24)
+    model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.default_rng(8).random((2, 64, 64, 3)),
+                       jnp.float32)
+    base = model.encode(variables, imgs, train=False)
+    model.cfg = model.cfg.replace(fused_stem=True)
+    fused = model.encode(variables, imgs, train=False)
+    np.testing.assert_allclose(np.array(fused), np.array(base),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_encode_fused_matches_unfused():
