@@ -177,8 +177,11 @@ def pack_stem_weights(kernel: jax.Array, bn_scale: jax.Array,
     bnb = jnp.tile(bn_bias - bn_mean * sc, npos)[None, :]     # (1, npos*F)
     m3 = np.asarray(mean, np.float32)
     s3 = np.asarray(std, np.float32)
-    nsc = jnp.asarray(np.tile(1.0 / s3, kh * blk), jnp.float32)[None, :]
-    nsh = jnp.asarray(np.tile(-m3 / s3, kh * blk), jnp.float32)[None, :]
+    # normalize vectors in the kernel's compute dtype: a bf16 multiply-add
+    # matches the bf16 XLA pipeline's rounding and avoids an f32 round-trip
+    # over the whole patch tensor in VMEM
+    nsc = jnp.asarray(np.tile(1.0 / s3, kh * blk), dtype)[None, :]
+    nsh = jnp.asarray(np.tile(-m3 / s3, kh * blk), dtype)[None, :]
     return wk.astype(dtype), bnb.astype(jnp.float32), nsc, nsh
 
 
@@ -191,7 +194,7 @@ def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
     n3 = 3 * blk
     P = p_ref[0]                                          # (R, kh*3*blk)
     R = P.shape[0]
-    xn = P.astype(f32) * nsc_ref[:] + nsh_ref[:]          # normalize
+    xn = P * nsc_ref[:] + nsh_ref[:]          # normalize (compute dtype)
     ri = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     ib = ri // g                                          # conv row index
     li = jax.lax.broadcasted_iota(jnp.int32, (1, kh * n3), 1)
@@ -204,8 +207,7 @@ def _kernel(p_ref, w_ref, bnb_ref, nsc_ref, nsh_ref, o_ref,
             continue                                      # always valid
         bad = (2 * ib + off < 0) | (2 * ib + off > 2 * ch - 1)
         lane = (li >= dy * n3) & (li < (dy + 1) * n3)
-        xn = jnp.where(bad & lane, 0.0, xn)
-    xn = xn.astype(compute_dtype)
+        xn = jnp.where(bad & lane, jnp.asarray(0, compute_dtype), xn)
     zrow = jnp.zeros((1, kh * n3), compute_dtype)
     parts = [xn]
     if lpx:  # previous block's last lpx pixels, zeroed at g==0 (left pad)
