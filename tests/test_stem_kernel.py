@@ -186,3 +186,17 @@ def test_encode_fused_matches_unfused_nopool_archs(arch):
     fused = model.encode(variables, imgs, train=False)
     np.testing.assert_allclose(np.array(fused), np.array(base),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fused_stem_k3_wide_fallback():
+    # 3x3 stem with F=64: 4F > 128 lanes, so the kernel falls back to the
+    # 2-outputs-per-block packing — numeric parity for that geometry
+    rng = np.random.default_rng(13)
+    kernel, sc, bb, mu, var = _random_stem(rng, f=64)
+    x = jnp.asarray(rng.random((2, 48, 48, 3)), jnp.float32)
+    want = stem_pool_reference(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD,
+                               pool=False)
+    got = fused_stem_pool(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD,
+                          pool=False)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
