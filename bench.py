@@ -221,6 +221,8 @@ def _finite(x):
 
 
 def main(argv=None):
+    from sat_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # SAT_TPU_PLATFORM=cpu for off-chip smoke runs
     p = argparse.ArgumentParser()
     # flagship: the reference's own best-BLEU encoder (shufflenet_v2_x0_5,
     # dev/experiments.txt v124) + its 1x1 encoder_dim projection trick
@@ -352,7 +354,20 @@ def main(argv=None):
             v, spread = measure(b, k_large)
         except Exception as e:  # OOM at large batch: report what fits
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
-            continue
+            if model.cfg.fused_stem is not False:
+                # the auto-on Pallas stem is the one never-exercised-here
+                # compile in this program: drop to the (equivalent) XLA stem
+                # and retry once rather than record a zero
+                print("# retrying with fused_stem=False", file=sys.stderr)
+                model.cfg = model.cfg.replace(fused_stem=False)
+                try:
+                    v, spread = measure(b, k_large)
+                except Exception as e2:
+                    print(f"# retry failed: {type(e2).__name__}",
+                          file=sys.stderr)
+                    continue
+            else:
+                continue
         print(f"# {args.arch} b={b}: {v:.0f} imgs/s (spread {spread:.0%})",
               file=sys.stderr)
         if v > best:
@@ -385,7 +400,8 @@ def main(argv=None):
                    "input_size": args.input_size,
                    "max_gen_length": args.max_gen_length,
                    "precision": args.precision, "vocab": args.vocab_size,
-                   "fused_kernel": args.fused, "beamk": args.beamk,
+                   "fused_kernel": args.fused,
+                   "fused_stem": model.cfg.fused_stem, "beamk": args.beamk,
                    "early_exit": best_ee},
     }
     print(json.dumps(result))

@@ -71,6 +71,8 @@ def sweep(archs: List[str], batch: int = 32, input_size: int = 224,
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="encoder throughput sweep")
     p.add_argument("--archs", nargs="+", default=[
         "shufflenet_v2_x0_5", "mobilenet_v3_small", "squeezenet1_1",

@@ -97,6 +97,8 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     import argparse
 
     from ..data.dataset import CaptionDataset

@@ -28,6 +28,8 @@ def export_embeddings(model, variables, logdir: str = "logs/embeddings") -> str:
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     from ..train.checkpoints import load_any_checkpoint
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)

@@ -141,6 +141,8 @@ def plot_search_results(csv_path: str, out_dir: str = ".") -> List[str]:
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     from ..data.dataset import CaptionDataset
     from ..train.checkpoints import load_any_checkpoint
 

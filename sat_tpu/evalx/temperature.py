@@ -75,6 +75,8 @@ def fit_temperature(logits: np.ndarray, targets: np.ndarray,
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     from ..data.dataset import CaptionDataset
     from ..train.checkpoints import load_any_checkpoint
 

@@ -150,6 +150,8 @@ def make_visual(model, variables, valid_ds: Optional[CaptionDataset] = None,
 
 
 def main(argv=None):
+    from ..utils.platform import apply_platform_env
+    apply_platform_env()
     import argparse
     import jax
     from ..train.checkpoints import load_any_checkpoint

@@ -65,6 +65,8 @@ def decode_images(paths: List[str], size: int, pool):
 
 
 def main(argv=None):
+    from .utils.platform import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="batch image captioning")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--images", nargs="+", required=True,

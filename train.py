@@ -11,6 +11,8 @@ from sat_tpu.utils.seeding import seed_everything
 
 
 def main(argv=None):
+    from sat_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # SAT_TPU_PLATFORM=cpu routes the run off-chip
     cfg = config_from_args(argv)
     if cfg.resume:
         # Lightning-style resume: the model/optimizer structure comes from the
