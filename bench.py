@@ -220,6 +220,43 @@ def _finite(x):
     return round(x, 3) if x is not None and math.isfinite(x) else None
 
 
+def _await_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool:
+    """Probe the TPU backend in a SUBPROCESS until it answers or the budget
+    runs out.  A dead axon relay makes the first in-process jax.devices()
+    call hang indefinitely — probing out-of-process keeps this process
+    un-wedged, rides out short relay flaps, and turns a hard hang into a
+    clear bounded failure."""
+    import os
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 # must be real COMPUTE with a host fetch: device enumeration
+                 # succeeds against a dead relay, only dispatch hangs
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "x = jnp.ones((64, 64));"
+                 "print('ALIVE', float(np.asarray(x @ x).sum()) > 0)"],
+                capture_output=True, timeout=probe_timeout_s, text=True,
+                env=os.environ.copy())
+            if "ALIVE" in out.stdout:
+                if attempt > 1:
+                    print(f"# backend reachable after {attempt} probes",
+                          file=sys.stderr)
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"# backend unreachable (probe {attempt}); retrying...",
+              file=sys.stderr)
+        time.sleep(min(60.0, max(1.0, deadline - time.time())))
+
+
 def main(argv=None):
     from sat_tpu.utils.platform import apply_platform_env
     apply_platform_env()  # SAT_TPU_PLATFORM=cpu for off-chip smoke runs
@@ -264,9 +301,23 @@ def main(argv=None):
                    help="with --train: in-step gradient chunking (scan over "
                         "batch/microbatch chunks; bounds the HBM working set "
                         "at the chunk size). 0 = off")
+    p.add_argument("--relay_wait", default=900, type=float, metavar="S",
+                   help="max seconds to wait for an unreachable TPU backend "
+                        "before failing with a diagnostic (0 = no probe)")
     args = p.parse_args(argv)
     if args.encoder_dim is not None and args.encoder_dim <= 0:
         args.encoder_dim = None  # 0 = backbone-native annotation dim
+
+    import os
+    import jax
+    forced_off_chip = (os.environ.get("SAT_TPU_PLATFORM")
+                       or "cpu" in str(getattr(jax.config, "jax_platforms",
+                                               "") or ""))
+    if args.relay_wait > 0 and not forced_off_chip:
+        if not _await_backend(args.relay_wait):
+            print(json.dumps({"error": "TPU backend unreachable",
+                              "waited_s": args.relay_wait}))
+            sys.exit(1)
 
     if args.train:
         batches = args.batches or ([32] if args.quick else [64, 128, 256])

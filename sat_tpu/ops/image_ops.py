@@ -14,6 +14,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # All image tensors here are NHWC float32 in [0, 1].
 
@@ -202,7 +203,9 @@ def warp_affine(x: jax.Array, theta: jax.Array, out_hw: Tuple[int, int]) -> jax.
 # Color ops (torchvision ColorJitter semantics, reference: train.py:223-224)
 # ---------------------------------------------------------------------------
 
-_GRAY = jnp.array([0.299, 0.587, 0.114])
+# numpy, not jnp: a module-level device array would dispatch to the TPU at
+# IMPORT time (and hang every CLI when the relay is unreachable)
+_GRAY = np.array([0.299, 0.587, 0.114], np.float32)
 
 
 def adjust_brightness(x: jax.Array, factor: jax.Array) -> jax.Array:
@@ -212,7 +215,7 @@ def adjust_brightness(x: jax.Array, factor: jax.Array) -> jax.Array:
 
 
 def adjust_contrast(x: jax.Array, factor: jax.Array) -> jax.Array:
-    gray_mean = jnp.mean(jnp.tensordot(x, _GRAY.astype(x.dtype),
+    gray_mean = jnp.mean(jnp.tensordot(x, jnp.asarray(_GRAY, x.dtype),
                                        axes=([-1], [0])).astype(jnp.float32),
                          axis=(1, 2))[..., None, None, None].astype(x.dtype)
     f = factor.astype(x.dtype)[..., None, None, None]
@@ -220,7 +223,7 @@ def adjust_contrast(x: jax.Array, factor: jax.Array) -> jax.Array:
 
 
 def adjust_saturation(x: jax.Array, factor: jax.Array) -> jax.Array:
-    gray = jnp.tensordot(x, _GRAY.astype(x.dtype), axes=([-1], [0]))[..., None]
+    gray = jnp.tensordot(x, jnp.asarray(_GRAY, x.dtype), axes=([-1], [0]))[..., None]
     f = factor.astype(x.dtype)[..., None, None, None]
     return jnp.clip(f * x + (1 - f) * gray, 0.0, 1.0)
 
