@@ -304,6 +304,40 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
         b, rows, ncol * g, f).astype(x.dtype)
 
 
+def fused_stem_pool_sharded(x: jax.Array, kernel: jax.Array,
+                            bn_scale: jax.Array, bn_bias: jax.Array,
+                            bn_mean: jax.Array, bn_var: jax.Array, eps: float,
+                            mean: Tuple[float, ...], std: Tuple[float, ...],
+                            mesh, act: str = "relu", pool: bool = True,
+                            interpret: bool = None) -> jax.Array:
+    """fused_stem_pool under a sharded mesh.
+
+    pallas_call has no GSPMD partitioning rules, so under a multi-device
+    program XLA would otherwise gather the global batch onto one device.
+    The stem is embarrassingly parallel over batch (the kernel grid is
+    already (B,)), so a shard_map over the batch axes runs the kernel
+    per-shard with zero collectives: images stay P((all mesh axes)) — this
+    framework shards batches over EVERY axis (see parallel/mesh.py
+    data_sharding and the GSPMD grouped-conv trap it pins) — and the stem
+    weights are replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    batch_spec = P(tuple(mesh.axis_names))
+    rep = P()
+
+    def local(xx, k, sc, bb, mu, var):
+        return fused_stem_pool(xx, k, sc, bb, mu, var, eps, mean, std,
+                               act=act, pool=pool, interpret=interpret)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(batch_spec, rep, rep, rep, rep, rep),
+        out_specs=batch_spec,
+        # pallas_call's ShapeDtypeStruct carries no varying-mesh-axes info,
+        # which the vma checker requires; the manual specs above are complete
+        check_vma=False)(x, kernel, bn_scale, bn_bias, bn_mean, bn_var)
+
+
 def stem_pool_reference(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
                         bn_bias: jax.Array, bn_mean: jax.Array,
                         bn_var: jax.Array, eps: float,

@@ -26,6 +26,10 @@ class SATModel:
         self.cfg = cfg
         self.grid_hw = grid_hw
         self.vocab = Vocab(cfg.vocab_stoi)
+        # optional jax.sharding.Mesh: set by mesh-aware callers (serve,
+        # trainer) so the fused Pallas stem can run under a sharded program
+        # via shard_map (pallas_call has no GSPMD partitioning rules)
+        self.mesh = None
         self.encoder_train = SATEncoder(
             arch=cfg.encoder_arch, mean=cfg.mean, std=cfg.std,
             encoder_dim=cfg.encoder_dim, encoder_size=cfg.encoder_size, train=True)
@@ -93,30 +97,38 @@ class SATModel:
         supported stems (kernels/stem.py STEM_PLANS) when running on TPU —
         fp32-exact / bf16-rounding-equivalent to the unfused path
         (tests/test_stem_kernel.py), so this is purely a scheduling choice."""
-        from ..kernels.stem import fused_stem_pool, stem_plan, stem_supported
+        from ..kernels.stem import (fused_stem_pool, fused_stem_pool_sharded,
+                                    stem_plan, stem_supported)
         cfg = self.cfg
+        mesh = self.mesh
+        sharded = mesh is not None and int(mesh.devices.size) > 1
         enabled = cfg.fused_stem
         if enabled is None:
-            # auto: single TPU chip only — under a multi-device mesh the
-            # pallas_call would need explicit GSPMD partitioning rules
-            # (force with cfg.fused_stem=True if the mesh shards only axes
-            # the kernel never touches)
+            # auto: on-TPU inference — single chip, or multi-device when the
+            # caller registered its Mesh (model.mesh), which routes the
+            # pallas_call through a batch-axis shard_map (pallas_call itself
+            # has no GSPMD partitioning rules)
             enabled = (jax.default_backend() not in ("cpu",)
-                       and jax.device_count() == 1)
+                       and (jax.device_count() == 1 or sharded))
         plan = stem_plan(cfg.encoder_arch)
         b, h, w, c = images.shape
         if not enabled or plan is None or h != w or c != 3:
             return None
+        if sharded and b % int(mesh.devices.size):
+            return None  # per-shard batch must be whole
         conv_name, bn_name, act, pool, kh = plan
         bp = variables["params"]["encoder"]["backbone"]
         bs = variables["state"]["batch_stats"]["backbone"]
         kernel = bp[conv_name]["kernel"]
         if not stem_supported(h, kernel.shape[-1], kh):
             return None
-        return fused_stem_pool(
-            images, kernel, bp[bn_name]["scale"], bp[bn_name]["bias"],
-            bs[bn_name]["mean"], bs[bn_name]["var"], 1e-5, cfg.mean, cfg.std,
-            act=act, pool=pool)
+        args = (images, kernel, bp[bn_name]["scale"], bp[bn_name]["bias"],
+                bs[bn_name]["mean"], bs[bn_name]["var"], 1e-5, cfg.mean,
+                cfg.std)
+        if sharded:
+            return fused_stem_pool_sharded(*args, mesh=mesh, act=act,
+                                           pool=pool)
+        return fused_stem_pool(*args, act=act, pool=pool)
 
     # -- inference API (reference: SAT.caption at model.py:214-235) --------
 

@@ -200,3 +200,74 @@ def test_fused_stem_k3_wide_fallback():
                           pool=False)
     np.testing.assert_allclose(np.array(got), np.array(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_stem_sharded_matches_reference():
+    # shard_map wrapper: the kernel under a multi-device mesh (batch sharded
+    # over every axis per parallel/mesh.py data_sharding) must match the
+    # unfused oracle exactly in fp32 — and insert zero collectives (the stem
+    # is embarrassingly parallel over batch)
+    from sat_tpu.kernels.stem import fused_stem_pool_sharded
+    from sat_tpu.parallel.mesh import create_mesh, data_sharding
+
+    mesh = create_mesh((4, 2), ("data", "model"))
+    rng = np.random.default_rng(11)
+    kernel, sc, bb, mu, var = _random_stem(rng)
+    x = jnp.asarray(rng.random((16, 64, 64, 3)), jnp.float32)
+    want = stem_pool_reference(x, kernel, sc, bb, mu, var, 1e-5, MEAN, STD)
+    xs = jax.device_put(x, data_sharding(mesh))
+    got = jax.jit(lambda *a: fused_stem_pool_sharded(
+        *a, 1e-5, MEAN, STD, mesh=mesh))(xs, kernel, sc, bb, mu, var)
+    assert got.sharding.is_equivalent_to(data_sharding(mesh), got.ndim)
+    np.testing.assert_allclose(np.array(got), np.array(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encode_fused_sharded_matches_unfused():
+    # model-level: encode with model.mesh registered routes the fused stem
+    # through shard_map and reproduces the single-device unfused path
+    from sat_tpu.config import SATConfig
+    from sat_tpu.models.model import SATModel
+    from sat_tpu.parallel.mesh import (create_mesh, data_sharding,
+                                       place_tree)
+
+    v = 40
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    cfg = SATConfig(encoder_arch="shufflenet_v2_x0_5", input_size=64,
+                    encoder_dim=24, vocab_size=v, vocab_stoi=stoi,
+                    embed_dim=12, attention_dim=12, decoder_dim=24)
+    model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
+    imgs = jnp.asarray(np.random.default_rng(7).random((8, 64, 64, 3)),
+                       jnp.float32)
+    base = model.encode(variables, imgs, train=False)
+
+    mesh = create_mesh((8,), ("data",))
+    model.mesh = mesh
+    model.cfg = model.cfg.replace(fused_stem=True)
+    vs = place_tree(variables, mesh)
+    xs = jax.device_put(imgs, data_sharding(mesh))
+    fused = jax.jit(lambda v_, i_: model.encode(v_, i_, train=False))(vs, xs)
+    np.testing.assert_allclose(np.array(fused), np.array(base),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_encode_fused_sharded_indivisible_batch_falls_back():
+    # batch not divisible by the mesh -> the fused path must decline (None)
+    # rather than produce a ragged shard_map
+    from sat_tpu.config import SATConfig
+    from sat_tpu.models.model import SATModel
+    from sat_tpu.parallel.mesh import create_mesh
+
+    v = 40
+    stoi = {f"w{i}": i for i in range(1, v - 3)}
+    stoi.update({"<UNK>": v - 3, "<START>": v - 2, "<END>": v - 1, "<PAD>": 0})
+    cfg = SATConfig(encoder_arch="shufflenet_v2_x0_5", input_size=64,
+                    encoder_dim=24, vocab_size=v, vocab_stoi=stoi,
+                    embed_dim=12, attention_dim=12, decoder_dim=24)
+    model, variables = SATModel.create(cfg, jax.random.PRNGKey(0))
+    model.mesh = create_mesh((8,), ("data",))
+    model.cfg = model.cfg.replace(fused_stem=True)
+    imgs = jnp.asarray(np.random.default_rng(9).random((6, 64, 64, 3)),
+                       jnp.float32)
+    assert model._fused_stem_out(variables, imgs) is None
