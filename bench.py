@@ -220,6 +220,14 @@ def _finite(x):
     return round(x, 3) if x is not None and math.isfinite(x) else None
 
 
+def _stem_variant_enabled() -> bool:
+    """Whether to A/B the fused Pallas stem at the winning batch: TPU-class
+    backends only (on CPU the kernel runs in interpret mode — a numerics
+    rig, not a performance variant)."""
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def _await_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool:
     """Probe the TPU backend in a SUBPROCESS until it answers or the budget
     runs out.  A dead axon relay makes the first in-process jax.devices()
@@ -361,8 +369,12 @@ def main(argv=None):
     model, variables = build_model(args.arch, args.input_size,
                                    args.vocab_size, args.precision,
                                    args.encoder_dim)
-    if args.no_fused_stem:
-        model.cfg = model.cfg.replace(fused_stem=False)
+    # The batch sweep always runs the proven XLA stem; the fused Pallas stem
+    # (auto-on elsewhere for TPU inference) is measured as an A/B VARIANT at
+    # the winning batch below — a merely-slower kernel can then never drag
+    # the headline down, and its relay compiles (~60-150s/shape) are bounded
+    # to one shape instead of taxing every sweep point.
+    model.cfg = model.cfg.replace(fused_stem=False)
 
     # secondary metric: p50 single-image caption latency (the reference's
     # serial per-image loop prints "Inference in ... ms" — visualize.ipynb)
@@ -405,20 +417,7 @@ def main(argv=None):
             v, spread = measure(b, k_large)
         except Exception as e:  # OOM at large batch: report what fits
             print(f"# batch {b} failed: {type(e).__name__}", file=sys.stderr)
-            if model.cfg.fused_stem is not False:
-                # the auto-on Pallas stem is the one never-exercised-here
-                # compile in this program: drop to the (equivalent) XLA stem
-                # and retry once rather than record a zero
-                print("# retrying with fused_stem=False", file=sys.stderr)
-                model.cfg = model.cfg.replace(fused_stem=False)
-                try:
-                    v, spread = measure(b, k_large)
-                except Exception as e2:
-                    print(f"# retry failed: {type(e2).__name__}",
-                          file=sys.stderr)
-                    continue
-            else:
-                continue
+            continue
         print(f"# {args.arch} b={b}: {v:.0f} imgs/s (spread {spread:.0%})",
               file=sys.stderr)
         if v > best:
@@ -438,6 +437,26 @@ def main(argv=None):
                 best, best_spread, best_ee = v, spread, True
         except Exception as e:
             print(f"# early_exit failed: {type(e).__name__}", file=sys.stderr)
+    # fused Pallas stem variant at the winning config (XLA decode path only:
+    # the Pallas decode kernels have their own stem-free programs).  Kept
+    # only if it beats the XLA stem — numerics are pinned equivalent by
+    # tests/test_stem_kernel.py, so this is purely a scheduling A/B.
+    best_stem = False
+    if (not args.no_fused_stem and args.fused == "off" and best_b
+            and not args.quick):
+        if _stem_variant_enabled():
+            try:
+                model.cfg = model.cfg.replace(fused_stem=True)
+                v, spread = measure(best_b, k_large, early_exit=best_ee)
+                print(f"# {args.arch} b={best_b} fused_stem: {v:.0f} imgs/s "
+                      f"(spread {spread:.0%})", file=sys.stderr)
+                if v > best:
+                    best, best_spread, best_stem = v, spread, True
+            except Exception as e:
+                print(f"# fused_stem failed: {type(e).__name__}",
+                      file=sys.stderr)
+            finally:
+                model.cfg = model.cfg.replace(fused_stem=False)
     result = {
         "metric": ("greedy_captioning_images_per_sec_per_chip"
                    if args.beamk <= 1 else
@@ -452,7 +471,7 @@ def main(argv=None):
                    "max_gen_length": args.max_gen_length,
                    "precision": args.precision, "vocab": args.vocab_size,
                    "fused_kernel": args.fused,
-                   "fused_stem": model.cfg.fused_stem, "beamk": args.beamk,
+                   "fused_stem": best_stem, "beamk": args.beamk,
                    "early_exit": best_ee},
     }
     print(json.dumps(result))
