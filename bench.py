@@ -241,6 +241,10 @@ def _await_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool:
     attempt = 0
     while True:
         attempt += 1
+        # clamp each probe to the remaining budget (plus a compile-time
+        # floor) so a small --relay_wait is honored instead of waiting the
+        # full probe timeout against a hung first probe
+        probe_s = max(30.0, min(probe_timeout_s, deadline - time.time()))
         try:
             out = subprocess.run(
                 [sys.executable, "-c",
@@ -249,7 +253,7 @@ def _await_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool:
                  "import jax, jax.numpy as jnp, numpy as np;"
                  "x = jnp.ones((64, 64));"
                  "print('ALIVE', float(np.asarray(x @ x).sum()) > 0)"],
-                capture_output=True, timeout=probe_timeout_s, text=True,
+                capture_output=True, timeout=probe_s, text=True,
                 env=os.environ.copy())
             if "ALIVE" in out.stdout:
                 if attempt > 1:

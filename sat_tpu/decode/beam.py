@@ -196,7 +196,11 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
             sel = jnp.where(in_topk, seq_scores / tf, NEG_INF)
             sel = sel + jax.random.gumbel(rng_gumbel, sel.shape) * (sel > NEG_INF / 2)
         # plain top-k at step 0 regardless of method (model.py:338-345),
-        # with only beam row 0 active since all rows are identical
+        # selecting from SLOT 0's scores only — the reference takes
+        # top_scores[0].topk(k) there; slot logits at t=0 genuinely differ
+        # across slots (each gets its own init projection slice, see
+        # init_lstm_state_beams), so this mask is load-bearing parity, not
+        # a redundancy (pinned by tests/test_reference_oracle.py)
         beam0_only = jnp.where(jnp.arange(k)[None, :, None] == 0, seq_scores, NEG_INF)
         sel = jnp.where(t == 0, beam0_only, sel)
 

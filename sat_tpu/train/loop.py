@@ -31,9 +31,7 @@ from ..decode.api import unpack_beam_result
 from ..decode.beam import beam_search
 from ..evalx.metrics import score_captions
 from ..models.model import SATModel
-from ..models.sat import (flatten_caption_batch, repeat_annotations, sat_loss,
-                          train_forward, train_forward_loss,
-                          train_forward_loss_grouped)
+from ..models.sat import train_forward_loss_grouped
 from ..parallel.mesh import (create_mesh, fetch_global, place_tree,
                              shard_batch)
 from .checkpoints import (RestartCheckpointManager, TopKCheckpointManager,
@@ -85,6 +83,14 @@ class Trainer:
                 f"--batch {cfg.batch} must be divisible by the mesh device "
                 f"count {n_dev} (mesh_shape={cfg.mesh_shape}): the batch is "
                 f"sharded across every chip on the mesh")
+        if cfg.microbatch and (cfg.microbatch >= cfg.batch
+                               or cfg.batch % cfg.microbatch):
+            # the in-step gate would otherwise silently run unchunked —
+            # defeating the flag's whole purpose as the OOM-avoidance lever
+            raise ValueError(
+                f"--microbatch {cfg.microbatch} must be a divisor of "
+                f"--batch {cfg.batch} smaller than it (the step scans "
+                f"batch/microbatch gradient chunks)")
 
         # Multi-host: every process runs this same Trainer; loaders emit only
         # this host's rows of each global batch (mesh.shard_batch assembles).
@@ -358,22 +364,29 @@ class Trainer:
         stop = threading.Event()
         _END = object()
 
+        def put(item) -> bool:
+            """Blocking put that aborts when the consumer is gone — EVERY
+            producer put goes through here (including _END and the error
+            path), or an abandoned epoch (max_batches, a step exception)
+            leaves the thread blocked forever on the full queue, pinning
+            its uploaded device batches for the life of the process."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch in loader:
                     n = batch["images"].shape[0]
-                    item = (shard_batch(batch, self.mesh), n)
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
+                    if not put((shard_batch(batch, self.mesh), n)):
                         return
-                q.put(_END)
+                put(_END)
             except BaseException as e:  # surface loader/upload errors
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -146,3 +146,41 @@ def test_microbatch_full_fit_runs(synth_json, tmp_path):
                  val_interval=1, val_beamk=2, val_max_len=6)
     metrics = t.fit()
     assert np.isfinite(metrics["bleu4"])
+
+
+def test_invalid_microbatch_rejected(synth_json, tmp_path):
+    """A microbatch that doesn't divide the batch (or isn't smaller than it)
+    must fail loudly at Trainer construction — the in-step gate would
+    otherwise silently run the full unchunked batch, defeating the flag's
+    purpose as the OOM-avoidance lever."""
+    for bad in (3, 8, 16):
+        with pytest.raises(ValueError, match="microbatch"):
+            _trainer(synth_json, tmp_path, f"bad{bad}", microbatch=bad)
+
+
+def test_abandoned_epoch_reaps_upload_thread(synth_json, tmp_path):
+    """Breaking out of an epoch early (max_batches / a step exception) must
+    not leave the upload producer thread blocked on its queue: EVERY put in
+    the producer — including the final _END — checks the stop event, so the
+    generator's close() reaps the thread promptly instead of leaking it (and
+    the 2-3 device batches it holds) for the life of the process."""
+    import threading
+    import time as _time
+    from sat_tpu.data.preprocess import make_synthetic_dataset
+    # 64 imgs / batch 8 -> 8 batches (batch must stay divisible by the
+    # 8-device test mesh): with max_batches=1 the producer is still deep in
+    # the epoch (blocked on a full queue) when the consumer walks away
+    big = make_synthetic_dataset(str(tmp_path / "reap_ds"), n_train=64,
+                                 n_val=8, n_test=8, image_size=32,
+                                 max_cap_length=8)
+    t = _trainer(big, tmp_path, "reap", microbatch=0)
+    before = {th.ident for th in threading.enumerate()}
+    t.train_epoch(max_batches=1)
+    deadline = _time.time() + 20
+    while _time.time() < deadline:
+        leftover = [th for th in threading.enumerate()
+                    if th.ident not in before and th.is_alive()]
+        if not leftover:
+            break
+        _time.sleep(0.1)
+    assert not leftover, f"leaked threads: {leftover}"

@@ -19,14 +19,18 @@ Weights flow REFERENCE -> sat_tpu through the production converter
 (models/lightning_import.convert_decoder), so the converter itself is under
 test too.
 
-Known, deliberate divergence (documented + pinned below): the reference's
-InitLSTM does `init.reshape(2*layers, batch, H)` on a (batch, 2*layers*H)
-tensor (model.py:79) — a raw memory reinterpretation that SCRAMBLES h0/c0
-across batch rows whenever the rows differ.  It is invisible exactly where
-the reference is actually used with meaningful outputs: per-image beam search
-(all beamk rows identical, model.py:265-266) and B=1 training batches.
-sat_tpu implements the intended per-row transpose, which agrees with the
-reference everywhere the reference's own behavior is row-independent.
+A note on the reference's InitLSTM layout quirk: its
+`init.reshape(2*layers, batch, H)` on a (batch, 2*layers*H) tensor
+(model.py:79) is a raw memory reinterpretation that mixes h0/c0 ACROSS batch
+rows whenever the rows differ.  sat_tpu replicates it bit-for-bit where
+parity matters: the teacher-forced train path uses
+`init_lstm_state(..., batch_reshape=True)` (the reference's exact cross-row
+layout — pinned here against the literal reference on multi-row batches),
+and beam search uses `init_lstm_state_beams` (each beam slot gets the same
+projection slice the reference's beamk-expanded rows produce).  The
+per-row-transpose layout (`batch_reshape=False`) survives only as the
+greedy-decode default, where the reference's own per-image loop (B=1 per
+call) makes the two layouts identical anyway.
 """
 
 from __future__ import annotations
