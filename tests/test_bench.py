@@ -83,3 +83,36 @@ def test_fused_variant_skipped_on_cpu(monkeypatch, capsys):
                          "--vocab_size", "128", "--max_gen_length", "4"])
     assert all(f is False for f in calls)
     assert result["config"]["fused_stem"] is False
+
+
+def test_train_microbatch_variant_kept_only_if_faster(monkeypatch, capsys):
+    calls = []
+
+    def fake_train(arch, size, vocab, prec, b, train_encoder=True, reps=3,
+                   encoder_dim=None, microbatch=0):
+        calls.append((b, microbatch))
+        return (3000.0, 0.05) if microbatch else (2500.0, 0.05)
+
+    monkeypatch.setattr(bench, "bench_train_step", fake_train)
+    result = bench.main(["--train", "--batches", "128", "--input_size", "64",
+                         "--vocab_size", "128"])
+    assert calls == [(128, 0), (128, 64)]
+    assert result is None  # train path prints its own JSON line
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["value"] == 3000.0
+    assert parsed["config"]["microbatch"] == 64
+
+
+def test_train_microbatch_variant_skipped_for_small_batch(monkeypatch, capsys):
+    calls = []
+
+    def fake_train(arch, size, vocab, prec, b, train_encoder=True, reps=3,
+                   encoder_dim=None, microbatch=0):
+        calls.append((b, microbatch))
+        return 2500.0, 0.05
+
+    monkeypatch.setattr(bench, "bench_train_step", fake_train)
+    bench.main(["--train", "--batches", "64", "--input_size", "64",
+                "--vocab_size", "128"])
+    assert calls == [(64, 0)]
