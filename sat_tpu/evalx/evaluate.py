@@ -115,9 +115,11 @@ def main(argv=None):
     p.add_argument("--rescore_method", default="LN")
     p.add_argument("--rescore_reward", default=0.5, type=float)
     p.add_argument("--limit_batches", default=None, type=int)
-    p.add_argument("--early_exit", action="store_true",
+    p.add_argument("--early_exit", action="store_true", default=True,
                    help="stop each batch's decode when all captions end "
-                        "(exact; faster on trained models)")
+                        "(exact — pinned vs the fixed-length scan; faster on "
+                        "trained models). Default on; --no_early_exit reverts")
+    p.add_argument("--no_early_exit", dest="early_exit", action="store_false")
     a = p.parse_args(argv)
 
     from ..train.checkpoints import load_any_checkpoint

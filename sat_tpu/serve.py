@@ -81,10 +81,13 @@ def main(argv=None):
     p.add_argument("--decoder_noise", default=None, type=float)
     p.add_argument("--rescore_method", default="LN")
     p.add_argument("--rescore_reward", default=0.5, type=float)
-    p.add_argument("--early_exit", action="store_true",
+    p.add_argument("--early_exit", action="store_true", default=True,
                    help="stop decoding as soon as every caption in the batch "
-                        "has ended (exact; wins when captions are much "
-                        "shorter than --max_gen_length)")
+                        "has ended (exact — pinned vs the fixed-length scan; "
+                        "wins when captions are much shorter than "
+                        "--max_gen_length, which real checkpoints' are). "
+                        "Default on; --no_early_exit reverts")
+    p.add_argument("--no_early_exit", dest="early_exit", action="store_false")
     p.add_argument("--return_all", action="store_true",
                    help="emit all beamk candidates per image")
     p.add_argument("--mesh_shape", nargs="+", default=[-1], type=int)
