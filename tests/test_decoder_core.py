@@ -191,6 +191,47 @@ def test_grouped_loss_equals_flat_loss(epsilon):
         assert abs(float(flat[k]) - float(grouped[k])) < 1e-5, k
 
 
+def test_grouped_loss_equals_flat_loss_fuzz():
+    """Shape/config fuzz of the grouped==flat equivalence (the production
+    train path): random (B, R, T, L) plus the config variants that change
+    the step math — multi-layer LSTM, weight tying, embed max_norm, no
+    deep_output — must all agree with the repeat+flatten reference path."""
+    from sat_tpu.models.sat import (train_forward_loss,
+                                    train_forward_loss_grouped)
+    rng = np.random.default_rng(0xF02)
+    variants = [
+        dict(),
+        dict(decoder_layers=2),
+        dict(weight_tying=True, embed_norm=1.0),
+        dict(deep_output=False),
+        dict(label_smoothing=0.3, att_gamma=0.5),
+    ]
+    for i, kw in enumerate(variants):
+        cfg = small_cfg(**{"label_smoothing": 0.1, "att_gamma": 1.0, **kw})
+        params = D.init_decoder_params(jax.random.PRNGKey(100 + i), cfg)
+        b = int(rng.integers(1, 5))
+        r = int(rng.integers(1, 6))
+        total_t = int(rng.integers(4, 12))
+        L = int(rng.integers(2, 9))
+        eps = float(rng.choice([0.0, 0.5, 1.0]))
+        annots = jnp.array(rng.normal(size=(b, L, cfg.encoder_dim))
+                           .astype(np.float32))
+        caps = rng.integers(1, cfg.vocab_size,
+                            size=(b, r, total_t)).astype(np.int32)
+        lens = rng.integers(2, total_t, size=(b, r)).astype(np.int32)
+        key = jax.random.PRNGKey(200 + i)
+        flat = train_forward_loss(
+            params, cfg, repeat_annotations(annots, r),
+            jnp.asarray(caps.reshape(b * r, total_t)),
+            jnp.asarray(lens.reshape(b * r)), jnp.asarray(eps),
+            rng=key, train=False)
+        grouped = train_forward_loss_grouped(
+            params, cfg, annots, jnp.asarray(caps), jnp.asarray(lens),
+            jnp.asarray(eps), rng=key, train=False)
+        for k in ("loss", "ce_loss", "att_loss", "accuracy"):
+            assert abs(float(flat[k]) - float(grouped[k])) < 1e-5, (i, kw, k)
+
+
 def test_teacher_forcing_feedback_changes_outputs():
     """epsilon=0 must route argmax feedback after step 2 (model.py:518-523)."""
     cfg = small_cfg()
