@@ -70,6 +70,23 @@ def _gather_beams(x: jax.Array, parent: jax.Array, axis: int) -> jax.Array:
     return jnp.take_along_axis(x, idx, axis=axis)
 
 
+RESCORE_METHODS = ("LN", "WR", "BAR")
+
+
+def normalize_rescore_method(method: Optional[str]) -> Optional[str]:
+    """None / 'none' / 'None' / '' -> None; case-normalizes and VALIDATES
+    known methods.  Without this an unrecognized string (e.g. a lowercase
+    'ln' typo on a CLI) would silently fall through the rescore dispatch
+    below to no rescoring, changing which beam wins with no warning."""
+    if method is None or method in ("None", "none", ""):
+        return None
+    m = method.upper()
+    if m not in RESCORE_METHODS:
+        raise ValueError(f"unknown rescore_method {method!r}; expected one "
+                         f"of {RESCORE_METHODS} (or 'none')")
+    return m
+
+
 def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
                 *, beamk: int = 3, max_gen_length: int = 32,
                 temperature: Union[float, Sequence[float]] = 1.0,
@@ -91,6 +108,7 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
     serving batch sizes where the per-batch max length is short; the fixed
     scan pays max_gen_length always."""
     assert sample_method in ("beam", "multinomial", "topk")
+    rescore_method = normalize_rescore_method(rescore_method)
     if not isinstance(temperature, (list, tuple)):
         temperature = [temperature]
     temps = jnp.asarray(temperature, jnp.float32)

@@ -24,7 +24,7 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
              max_gen_length: int = 32, temperature: float = 1.0,
              rescore_method: Optional[str] = "LN", rescore_reward: float = 0.5,
              limit_batches: Optional[int] = None, verbose: bool = True,
-             early_exit: bool = False):
+             early_exit: bool = True):
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +42,10 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
     mesh = create_mesh((-1,), ("data",))
     n_dev = int(mesh.devices.size)
     variables = replicate_tree(variables, mesh)
+    # register the mesh so the fused Pallas stem routes through its
+    # batch-axis shard_map under a multi-device program (pallas_call has no
+    # GSPMD partitioning rules) — same as serve.py and the trainer
+    model.mesh = mesh
 
     @jax.jit
     def decode(variables, images_u8):

@@ -46,9 +46,18 @@ def run_search(model, variables, ds, n_trials: int = 32, batches_per_trial: int 
     embedding = np.asarray(jax.device_get(
         variables["params"]["decoder"]["embedding"]))
 
+    # load any prior results ONCE before the loop: every per-trial write
+    # below re-emits old + new, so accumulated searches genuinely append
+    # (reference: evaluate.ipynb cell 4 seeds `results` from data/results.csv)
+    old = None
+    if os.path.exists(csv_path):
+        old = pd.read_csv(csv_path)
+
     rows: List[Dict] = []
     for trial in range(n_trials):
         params = {
+            # discrete {5, 20} choice, matching the reference's
+            # `beamks = [5, 20]  # random Choice` (evaluate.ipynb cell 3)
             "beamk": rng.choice(list(beamk_range)),
             "temperature": round(rng.uniform(*temp_range), 3),
             "sample_method": rng.choice(list(methods)),
@@ -75,8 +84,7 @@ def run_search(model, variables, ds, n_trials: int = 32, batches_per_trial: int 
         print(f"trial {trial}: bleu4={means['bleu4']:.4f} gleu={means['gleu']:.4f} "
               f"({row['seconds_per_batch']:.2f}s/batch) {params}")
         df = pd.DataFrame(rows)
-        if os.path.exists(csv_path) and trial == 0:
-            old = pd.read_csv(csv_path)
+        if old is not None:
             df = pd.concat([old, df], ignore_index=True)
         df.to_csv(csv_path, index=False)
     return pd.DataFrame(rows)

@@ -36,7 +36,7 @@ def collect_logits(model, variables, ds, batch_size: int = 16,
 
     all_logits, all_targets = [], []
     for i, batch in enumerate(loader):
-        if i > max_batches:
+        if i >= max_batches:
             break
         logits, targets, lens_f = jax.device_get(fwd(
             variables, jnp.asarray(batch["images"]),

@@ -15,20 +15,10 @@ from typing import Optional, Sequence, Union
 import numpy as np
 from PIL import Image
 
-from ..data.dataset import CaptionDataset, pil_loader
+from ..data.dataset import CaptionDataset
 from ..decode.api import caption_from_annotations
 from ..evalx.metrics import corpus_bleu
-
-
-def load_square(path: str, size: Optional[int] = None) -> Image.Image:
-    """Center-crop-to-square + resize (reference: util.py:141-164)."""
-    img = pil_loader(path)
-    s = min(img.size)
-    w, h = img.size
-    img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
-    if size:
-        img = img.resize((size, size))
-    return img
+from ..utils.images import load_square
 
 
 def make_visual(model, variables, valid_ds: Optional[CaptionDataset] = None,

@@ -35,10 +35,16 @@ def gather_images(specs: List[str]) -> List[str]:
             for root, _, files in os.walk(spec):
                 paths.extend(os.path.join(root, f) for f in files
                              if f.lower().endswith(_IMG_EXTS))
-        elif any(ch in spec for ch in "*?["):
-            paths.extend(p for p in glob.glob(spec, recursive=True)
-                         if p.lower().endswith(_IMG_EXTS))
+        elif any(ch in spec for ch in "*?[") and not os.path.exists(spec):
+            hits = [p for p in glob.glob(spec, recursive=True)
+                    if p.lower().endswith(_IMG_EXTS)]
+            if not hits:
+                print(f"warning: --images glob {spec!r} matched nothing",
+                      file=sys.stderr)
+            paths.extend(hits)
         else:
+            # literal path first: a file genuinely named 'img[1].jpg' must
+            # not be swallowed by glob expansion (it would match 'img1.jpg')
             paths.append(spec)
     return sorted(dict.fromkeys(paths))
 

@@ -326,3 +326,18 @@ def test_early_exit_matches_scan():
                 n = int(lens[i, j])
                 np.testing.assert_allclose(a_scan[i, j, :n], a_fast[i, j, :n],
                                            atol=1e-6)
+
+
+def test_normalize_rescore_method():
+    """Unrecognized rescore strings must fail loudly — a lowercase CLI typo
+    used to silently fall through the rescore dispatch to no rescoring."""
+    from sat_tpu.decode.beam import normalize_rescore_method
+    assert normalize_rescore_method(None) is None
+    assert normalize_rescore_method("none") is None
+    assert normalize_rescore_method("None") is None
+    assert normalize_rescore_method("") is None
+    assert normalize_rescore_method("ln") == "LN"
+    assert normalize_rescore_method("WR") == "WR"
+    assert normalize_rescore_method("bar") == "BAR"
+    with pytest.raises(ValueError):
+        normalize_rescore_method("WN")

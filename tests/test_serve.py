@@ -47,6 +47,18 @@ def test_gather_images(ckpt_and_images):
         len(gather_images([os.path.join(imgdir, "*.jpg")])) == 5
 
 
+def test_gather_images_literal_bracket_and_empty_glob(tmp_path, capsys):
+    """A file literally named 'img[1].jpg' must be returned as-is (not glob-
+    expanded away), and a glob matching nothing must warn on stderr."""
+    p = tmp_path / "img[1].jpg"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(str(tmp_path / "tmp.png"))
+    os.rename(str(tmp_path / "tmp.png"), str(p).replace(".jpg", ".png"))
+    lit = str(p).replace(".jpg", ".png")
+    assert gather_images([lit]) == [lit]
+    assert gather_images([str(tmp_path / "nope*.jpg")]) == []
+    assert "matched nothing" in capsys.readouterr().err
+
+
 def test_serve_jsonl_output(ckpt_and_images, tmp_path):
     ck, imgdir = ckpt_and_images
     out = str(tmp_path / "caps.jsonl")

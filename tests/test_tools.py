@@ -74,6 +74,25 @@ def test_decode_search_csv(setup, tmp_path):
             "seconds_per_batch"} <= set(df.columns)
     corr = correlation_report(csv)
     assert "bleu4" in corr.columns
+    # accumulated searches append to the existing CSV across invocations
+    # (reference: evaluate.ipynb cell 4 seeds `results` from data/results.csv);
+    # a prior bug re-read the CSV only at trial 0 so trial>=1 writes clobbered it
+    import pandas as pd
+    run_search(model, variables, ds, n_trials=2, batches_per_trial=1,
+               batch_size=4, csv_path=csv, max_gen_length=6,
+               beamk_range=(2, 3), seed=1)
+    assert len(pd.read_csv(csv)) == 5
+
+
+def test_collect_logits_max_batches_boundary(setup):
+    """collect_logits honors max_batches exactly (was off-by-one: i > max)."""
+    json_path, ckpt = setup
+    model, variables, _ = load_model_from_checkpoint(ckpt)
+    ds = CaptionDataset(json_path, "val")
+    from sat_tpu.evalx.temperature import collect_logits
+    l1, t1 = collect_logits(model, variables, ds, batch_size=2, max_batches=1)
+    l2, t2 = collect_logits(model, variables, ds, batch_size=2, max_batches=2)
+    assert len(l1) < len(l2) and len(l1) == len(t1) and len(l2) == len(t2)
 
 
 def test_temperature_scaling(setup):
