@@ -87,6 +87,22 @@ def normalize_rescore_method(method: Optional[str]) -> Optional[str]:
     return m
 
 
+def _rescore_single(scores: jax.Array, lf: jax.Array,
+                    rescore_method: Optional[str],
+                    rescore_reward: float) -> jax.Array:
+    """Single-beam rescoring with beam_search's exact semantics
+    (reference: model.py:405-425).  For a lone beam the BAR live-mean over
+    slots collapses to -score."""
+    rescore_method = normalize_rescore_method(rescore_method)
+    if rescore_method == "LN":
+        return scores / lf
+    if rescore_method == "WR":
+        return scores + rescore_reward * lf
+    if rescore_method == "BAR":
+        return scores + rescore_reward * (-scores)
+    return scores
+
+
 def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
                 *, beamk: int = 3, max_gen_length: int = 32,
                 temperature: Union[float, Sequence[float]] = 1.0,
@@ -318,11 +334,16 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
 def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
                   *, max_gen_length: int = 32,
                   temperature: float = 1.0, fused: bool = False,
-                  early_exit: bool = False) -> BeamResult:
+                  early_exit: bool = False,
+                  rescore_method: Optional[str] = None,
+                  rescore_reward: float = 0.5) -> BeamResult:
     """Throughput fast path: beam width 1 without candidate machinery.
 
     Equivalent to beam_search(beamk=1, sample_method="beam") but with a plain
     per-step argmax — the kernel the >=5k imgs/sec/chip target is measured on.
+    `scores` follows the same contract: raw cumulative logprob unless a
+    rescore_method is given (it used to be unconditionally length-normalized,
+    silently disagreeing with beam_search(beamk=1) for the same caption).
     With ``fused=True`` (single-layer LSTM only) the per-step compute runs in
     the fused Pallas kernel (kernels/decoder_step.py).
 
@@ -353,9 +374,10 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
             max_gen_length=S, temperature=temperature)
         flen = jnp.where(finished, flen, S)
         lf = jnp.maximum(flen.astype(jnp.float32), 1.0)
+        rescored = _rescore_single(scores, lf, rescore_method, rescore_reward)
         return BeamResult(tokens=tokens[:, None], lengths=flen[:, None],
                           raw_scores=scores[:, None],
-                          scores=(scores / lf)[:, None],
+                          scores=rescored[:, None],
                           perplexity=jnp.exp(-scores / lf)[:, None],
                           alphas=alphas[:, None])
 
@@ -428,7 +450,8 @@ def greedy_decode(params: Dict, cfg: SATConfig, annotations: jax.Array,
             lambda c, t: (step_fn(c, t), None), carry0, jnp.arange(S + 1))
     flen = jnp.where(finished, flen, S)
     lf = jnp.maximum(flen.astype(jnp.float32), 1.0)
+    rescored = _rescore_single(scores, lf, rescore_method, rescore_reward)
     return BeamResult(tokens=tokens[:, None], lengths=flen[:, None],
-                      raw_scores=scores[:, None], scores=(scores / lf)[:, None],
+                      raw_scores=scores[:, None], scores=rescored[:, None],
                       perplexity=jnp.exp(-scores / lf)[:, None],
                       alphas=alphas[:, None])

@@ -78,13 +78,18 @@ def train_forward(params: Dict, cfg: SATConfig, annotations: jax.Array,
         pred_words = jnp.argmax(prev_logits, axis=-1).astype(gt_words.dtype)
         prev_words = jnp.where(use_gt, gt_words, pred_words)
 
+        # independent draws per regularizer (reference: model.py:527 embedding
+        # dropout and model.py:128 output dropout are separate nn.Dropout
+        # modules) — reusing one key would make the two masks bit-identical
+        # whenever the shapes and rates coincide
+        emb_rng, out_rng = jax.random.split(drop_rng)
         prev_embed = embed_tokens(params, prev_words, cfg)
         if train and cfg.embedding_dropout > 0:
-            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, drop_rng)
+            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, emb_rng)
 
         logits, h, c, _, alpha = decoder_step(
             params, cfg, prev_embed, h, c, annotations, att_enc,
-            drop_rng if train and cfg.dropout > 0 else None)
+            out_rng if train and cfg.dropout > 0 else None)
         logits = logits.astype(jnp.float32)
 
         active = (lengths > t)[:, None]
@@ -142,12 +147,13 @@ def train_forward_loss(params: Dict, cfg: SATConfig, annotations: jax.Array,
                                                 keepdims=False)
         prev_words = jnp.where(use_gt, gt_words, prev_pred)
 
+        emb_rng, out_rng = jax.random.split(drop_rng)  # independent masks
         prev_embed = embed_tokens(params, prev_words, cfg)
         if train and cfg.embedding_dropout > 0:
-            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, drop_rng)
+            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, emb_rng)
         logits, h, c, _, alpha = decoder_step(
             params, cfg, prev_embed, h, c, annotations, att_enc,
-            drop_rng if train and cfg.dropout > 0 else None)
+            out_rng if train and cfg.dropout > 0 else None)
         logits = logits.astype(jnp.float32)
 
         active = (lengths > t).astype(jnp.float32)                 # (N,)
@@ -241,9 +247,10 @@ def train_forward_loss_grouped(params: Dict, cfg: SATConfig,
                                                 keepdims=False)   # (B, R)
         prev_words = jnp.where(use_gt, gt_words, prev_pred)
 
+        emb_rng, out_rng = jax.random.split(drop_rng)  # independent masks
         prev_embed = embed_tokens(params, prev_words, cfg)        # (B, R, E)
         if train and cfg.embedding_dropout > 0:
-            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, drop_rng)
+            prev_embed = _dropout(prev_embed, cfg.embedding_dropout, emb_rng)
 
         # grouped soft attention (same math as decoder.soft_attention, with
         # annotations/att_enc broadcast over the ref dim instead of repeated)
@@ -262,7 +269,7 @@ def train_forward_loss_grouped(params: Dict, cfg: SATConfig,
         h, c = lstm_stack_step(x, h, c, params["lstm"])
         logits = deep_output(params, cfg, prev_embed.reshape(n, -1), h[-1],
                              zt.reshape(n, -1),
-                             drop_rng if train and cfg.dropout > 0 else None)
+                             out_rng if train and cfg.dropout > 0 else None)
         logits = logits.astype(jnp.float32)                       # (N, V)
 
         active = (lengths > t).astype(jnp.float32)                # (B, R)

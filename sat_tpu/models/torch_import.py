@@ -156,8 +156,6 @@ def convert_mobilenet_v3(sd: Dict[str, Any], n_blocks: int) -> Tuple[Dict, Dict]
         # torchvision block layout: [expand?][dw][se?][project]; each
         # Conv2dNormActivation is .0 (conv) + .1 (bn)
         pos = 0
-        has_expand = f"{tp}.1.0.weight" in sd or f"{tp}.1.fc1.weight" in sd or \
-            f"{tp}.2.0.weight" in sd or f"{tp}.3.0.weight" in sd
         # detect expand by counting conv layers present
         sub_keys = [k for k in sd if k.startswith(tp + ".")]
         n_sub = 1 + max(int(k[len(tp) + 1:].split(".")[0]) for k in sub_keys)

@@ -29,7 +29,10 @@ _MAGIC = b"SATTPU1\n"
 
 def save_checkpoint(path: str, cfg: SATConfig, tree: Dict[str, Any]) -> None:
     """tree: {"params", "state", "opt_state"?, "step"?, "epoch"?, ...}."""
-    tree = jax.tree_util.tree_map(np.asarray, tree)
+    # str leaves (top-k registry names) pass through: msgpack handles raw
+    # strings natively but np.asarray(str) makes an unrestorable '<U*' array
+    tree = jax.tree_util.tree_map(
+        lambda x: x if isinstance(x, str) else np.asarray(x), tree)
     # to_state_dict converts tuples/namedtuples (optax states) to dicts
     payload = serialization.msgpack_serialize(serialization.to_state_dict(tree))
     header = cfg.to_json().encode()
@@ -102,6 +105,21 @@ class TopKCheckpointManager:
     def best_value(self) -> Optional[float]:
         return max(v for v, _ in self.best) if self.best else None
 
+    def state_dict(self) -> Dict[str, Any]:
+        """Registry persisted inside every checkpoint so a resumed run keeps
+        enforcing save_top_k against the PRE-resume bests (Lightning persists
+        ModelCheckpoint.best_k_models the same way; without this a worse
+        post-resume value is saved as 'top-k' and the historical best can
+        never be evicted)."""
+        return {str(i): {"value": float(v), "name": os.path.basename(p)}
+                for i, (v, p) in enumerate(sorted(self.best))}
+
+    def load_state_dict(self, sd: Dict[str, Any], base_dir: str) -> None:
+        """base_dir: directory of the resumed checkpoint — pre-resume top-k
+        files live there, not in the new run's version dir."""
+        self.best = [(float(e["value"]), os.path.join(base_dir, str(e["name"])))
+                     for e in sd.values()]
+
     def on_validation_end(self, cfg: SATConfig, tree_fn,
                           metrics: Dict[str, float], epoch: int, step: int) -> None:
         """tree_fn: lazy () -> checkpoint tree.  Skipped when metrics are
@@ -116,19 +134,27 @@ class TopKCheckpointManager:
         value = float(metrics.get(self.monitor, float("-inf")))
         name = f"epoch={epoch}-step={step}-{self.monitor}={value:.4f}.ckpt"
         path = os.path.join(self.dirpath, name)
+        evict = None
+        save = False
         if self.save_top_k <= 0:
             pass
         elif len(self.best) < self.save_top_k:
-            save_checkpoint(path, cfg, tree)
+            save = True
             self.best.append((value, path))
         else:
             worst = min(self.best)
             if value > worst[0]:
-                save_checkpoint(path, cfg, tree)
+                save = True
+                evict = worst
                 self.best.remove(worst)
-                if os.path.exists(worst[1]):
-                    os.remove(worst[1])
                 self.best.append((value, path))
+        # registry updated FIRST so the file being written includes itself
+        # (Lightning's best_k_models persistence order)
+        tree = dict(tree, top_k=self.state_dict())
+        if save:
+            save_checkpoint(path, cfg, tree)
+            if evict is not None and os.path.exists(evict[1]):
+                os.remove(evict[1])
         # save_last=True: always refresh last.ckpt
         save_checkpoint(os.path.join(self.dirpath, "last.ckpt"), cfg, tree)
 

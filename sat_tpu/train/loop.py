@@ -11,7 +11,6 @@ frozen phase never pays encoder backward FLOPs."""
 
 from __future__ import annotations
 
-import json
 import os
 import queue
 import threading
@@ -162,6 +161,9 @@ class Trainer:
                 best = float(raw["early_stop"]["best"])
                 self.early_stop_best = None if best == float("-inf") else best
                 self.early_stop_count = int(raw["early_stop"]["count"])
+            # top-k registry restored onto the manager after it's built below
+            self._resume_top_k = raw.get("top_k")
+            self._resume_dir = os.path.dirname(os.path.abspath(cfg.resume))
 
         # -- sharding ------------------------------------------------------
         self.variables = place_tree(self.variables, self.mesh)
@@ -186,6 +188,9 @@ class Trainer:
         self.logger = MetricsLogger(self.logdir, enabled=self.is_main)
         self.ckpt = TopKCheckpointManager(self.logdir, cfg.save_monitor,
                                           cfg.save_top_k, write=self.is_main)
+        if getattr(self, "_resume_top_k", None):
+            # resumed runs keep enforcing save_top_k against pre-resume bests
+            self.ckpt.load_state_dict(self._resume_top_k, self._resume_dir)
         self.restart_ckpt = RestartCheckpointManager(self.logdir,
                                                      cfg.lr_warmup_steps,
                                                      write=self.is_main)
@@ -331,7 +336,13 @@ class Trainer:
         # one process; the allgather inside is a collective — every process
         # must call _checkpoint_tree together, which the deterministic
         # trigger conditions guarantee
-        return fetch_global(tree)
+        tree = fetch_global(tree)
+        # top-k registry rides along so resuming from ANY checkpoint kind
+        # (restart-{step}, last, top-k) restores save_top_k enforcement;
+        # TopKCheckpointManager overwrites this with its post-update state
+        # for the files it writes itself
+        tree["top_k"] = self.ckpt.state_dict()
+        return tree
 
     def _flush_train_metrics(self, pending, epsilon, timer, epoch_metrics):
         """Fetch a BUFFER of per-step metrics in one device round-trip.

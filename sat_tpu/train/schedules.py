@@ -88,9 +88,10 @@ class LRScheduler:
         for k in self._STATE_KEYS:
             if k in state and state[k] is not None:
                 cur = getattr(self, k, None)
-                v = state[k]
-                if isinstance(cur, int):
-                    v = int(v)
+                # msgpack restore yields read-only 0-d numpy arrays; in-place
+                # mutations like `self.factor *= gamma` then crash with
+                # "output array is read-only" — coerce to Python scalars
+                v = int(state[k]) if isinstance(cur, int) else float(state[k])
                 setattr(self, k, v)
 
     # ------------------------------------------------------------------
@@ -120,10 +121,16 @@ class LRScheduler:
             self.factor *= self.cfg.lr_gamma
 
     def on_validation_end(self, monitor_value: float, global_step: int) -> None:
-        """ReduceLROnPlateau(mode=max) after warmup (model.py:716-718)."""
+        """ReduceLROnPlateau(mode=max) after warmup (model.py:716-718).
+
+        Improvement test = torch's rel-threshold default: value must beat
+        best*(1+1e-4), so epsilon-sized metric noise counts as a bad epoch
+        exactly like torch (a strict `>` would reset patience on every
+        micro-oscillation and never reduce the LR)."""
         if self.cfg.scheduler != "plateau" or global_step < self.warmup_steps:
             return
-        if self.plateau_best is None or monitor_value > self.plateau_best:
+        if self.plateau_best is None or \
+                monitor_value > self.plateau_best * (1.0 + 1e-4):
             self.plateau_best = monitor_value
             self.plateau_bad_epochs = 0
         else:

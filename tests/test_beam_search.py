@@ -164,12 +164,22 @@ def test_greedy_equals_beam1():
     params = D.init_decoder_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(1)
     annots = jnp.array(rng.normal(size=(4, 6, cfg.encoder_dim)).astype(np.float32))
-    g = greedy_decode(params, cfg, annots, max_gen_length=12)
-    b1 = beam_search(params, cfg, annots, beamk=1, max_gen_length=12,
-                     rescore_method="LN")
-    np.testing.assert_array_equal(np.array(g.tokens), np.array(b1.tokens))
-    np.testing.assert_array_equal(np.array(g.lengths), np.array(b1.lengths))
-    np.testing.assert_allclose(np.array(g.scores), np.array(b1.scores), atol=1e-5)
+    # score contract matches beam_search for EVERY rescore mode (greedy used
+    # to length-normalize unconditionally, so its default-scores disagreed
+    # with beam_search(beamk=1)'s raw cumulative logprobs)
+    for method in (None, "LN", "WR", "BAR"):
+        g = greedy_decode(params, cfg, annots, max_gen_length=12,
+                          rescore_method=method)
+        b1 = beam_search(params, cfg, annots, beamk=1, max_gen_length=12,
+                         rescore_method=method)
+        np.testing.assert_array_equal(np.array(g.tokens), np.array(b1.tokens))
+        np.testing.assert_array_equal(np.array(g.lengths), np.array(b1.lengths))
+        np.testing.assert_allclose(np.array(g.raw_scores),
+                                   np.array(b1.raw_scores), atol=1e-5)
+        np.testing.assert_allclose(np.array(g.scores), np.array(b1.scores),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.array(g.perplexity),
+                                   np.array(b1.perplexity), rtol=1e-4)
 
 
 def test_caption_output_contract():

@@ -267,3 +267,40 @@ def test_tf_schedules():
     assert eps[0] > 0.99
     cfg = small_cfg(epochs=20, decoder_tf=None)
     assert teacher_forcing_epsilon(cfg, 3) == 0.0
+
+
+def test_dropout_masks_are_independent(monkeypatch):
+    """Embedding dropout and deep-output dropout must draw from DIFFERENT
+    keys per step (reference: model.py:527 and model.py:128 are separate
+    nn.Dropout modules).  A shared key makes the two masks bit-identical
+    whenever the shapes coincide (embed_dim == deep-output width)."""
+    import sat_tpu.models.sat as sat_mod
+    import sat_tpu.models.decoder as dec_mod
+
+    cfg = small_cfg(dropout=0.5, embedding_dropout=0.5)
+    params = D.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    b, r, total_t, L = 2, 2, 6, 4
+    annots = jnp.array(rng.normal(size=(b, L, cfg.encoder_dim)).astype(np.float32))
+    caps = jnp.array(rng.integers(1, cfg.vocab_size,
+                                  size=(b * r, total_t)).astype(np.int32))
+    lengths = jnp.array(np.full(b * r, total_t - 1, np.int32))
+
+    seen = []
+    orig = dec_mod._dropout
+
+    def spy(x, rate, key):
+        if key is not None:
+            seen.append(np.asarray(jax.random.key_data(key)).tobytes())
+        return orig(x, rate, key)
+
+    monkeypatch.setattr(dec_mod, "_dropout", spy)
+    monkeypatch.setattr(sat_mod, "_dropout", spy)
+    with jax.disable_jit():
+        train_forward(params, cfg, repeat_annotations(annots, r), caps,
+                      lengths, jnp.array(1.0), jax.random.PRNGKey(3),
+                      train=True)
+    # 2 draws per step (embedding + deep output) + 1 init-state draw
+    n_steps = total_t - 1
+    assert len(seen) == 2 * n_steps + 1
+    assert len(set(seen)) == len(seen), "dropout keys reused across draws"

@@ -164,3 +164,46 @@ def test_resume_is_bit_exact(tmp_path, bucket, workers, mid_epoch):
     for pa, pb in zip(jax.tree_util.tree_leaves(a),
                       jax.tree_util.tree_leaves(b)):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_top_k_registry_survives_resume(tmp_path):
+    """save_top_k enforcement must persist across resume: the registry rides
+    in every checkpoint (Lightning persists best_k_models the same way).
+    Without it a worse post-resume metric is saved as 'top-k' and the
+    historical best can never be evicted."""
+    import numpy as np
+    from sat_tpu.train.checkpoints import (TopKCheckpointManager,
+                                           load_checkpoint, save_checkpoint)
+    cfg = SATConfig(vocab_size=8, vocab_stoi={"<PAD>": 0, "<UNK>": 5,
+                                              "<START>": 6, "<END>": 7})
+    tree = {"params": {"w": np.zeros(2, np.float32)}, "state": {},
+            "step": 3, "epoch": 1}
+
+    d1 = str(tmp_path / "run1")
+    m1 = TopKCheckpointManager(d1, monitor="bleu4", save_top_k=1)
+    m1.on_validation_end(cfg, lambda: dict(tree), {"bleu4": 0.30}, 1, 3)
+    best_path = m1.best[0][1]
+    assert os.path.exists(best_path)
+    _, raw = load_checkpoint(os.path.join(d1, "last.ckpt"))
+    assert raw["top_k"], "registry missing from last.ckpt"
+    # the top-k file itself also carries a registry including itself
+    _, raw_best = load_checkpoint(best_path)
+    assert any(abs(float(e["value"]) - 0.30) < 1e-9
+               for e in raw_best["top_k"].values())
+
+    # 'resume': fresh manager in a NEW version dir, registry restored
+    d2 = str(tmp_path / "run2")
+    m2 = TopKCheckpointManager(d2, monitor="bleu4", save_top_k=1)
+    m2.load_state_dict(raw["top_k"], d1)
+    assert m2.best_value == pytest.approx(0.30)
+
+    # a worse value must NOT become a new 'top-1'
+    m2.on_validation_end(cfg, lambda: dict(tree), {"bleu4": 0.22}, 2, 6)
+    assert [f for f in os.listdir(d2) if f != "last.ckpt"] == []
+    assert os.path.exists(best_path)
+
+    # a better value evicts the pre-resume best (cross-directory)
+    m2.on_validation_end(cfg, lambda: dict(tree), {"bleu4": 0.35}, 3, 9)
+    assert not os.path.exists(best_path)
+    newfiles = [f for f in os.listdir(d2) if f != "last.ckpt"]
+    assert len(newfiles) == 1 and "0.3500" in newfiles[0]

@@ -115,6 +115,26 @@ def test_plateau_max_mode():
     assert abs(sched.current_lrs(200)["decoder"] - 1e-3 * 0.5) < 1e-12
 
 
+def test_plateau_rel_threshold_matches_torch():
+    """Micro-oscillations below torch's rel threshold (1e-4) must count as
+    bad epochs — a strict `>` would reset patience every other eval and the
+    LR would never drop.  Oracle: torch.optim.lr_scheduler.ReduceLROnPlateau."""
+    import torch
+    cfg = make_cfg(scheduler="plateau", plateau_patience=2, lr_gamma=0.5)
+    sched = LRScheduler(cfg, steps_per_epoch=10)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1e-3)
+    ref = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="max", factor=0.5, patience=2, min_lr=cfg.min_lr)
+    # +1e-6 bumps every other epoch around a true plateau
+    vals = [0.30, 0.300001, 0.30, 0.300002, 0.30, 0.300001, 0.30, 0.300003,
+            0.31, 0.30, 0.31 * (1 + 2e-4)]  # then a real improvement
+    for v in vals:
+        sched.on_validation_end(v, global_step=100)
+        ref.step(v)
+        assert abs(sched.current_lrs(100)["decoder"]
+                   - opt.param_groups[0]["lr"]) < 1e-12, v
+
+
 def test_restart_detection_for_checkpointing():
     """Cosine restarts raise the LR -> RestartCheckpoint triggers
     (util.py:167-183)."""
@@ -129,3 +149,20 @@ def test_restart_detection_for_checkpointing():
             rises += 1
         prev = cur
     assert rises >= 1
+
+
+def test_scheduler_state_restores_to_mutable_scalars():
+    """Checkpoint restore hands back read-only 0-d numpy arrays; in-place
+    scheduler mutations (factor *= gamma) must not crash after resume."""
+    import numpy as np
+    cfg = make_cfg(scheduler="plateau", plateau_patience=0, lr_gamma=0.5)
+    s1 = LRScheduler(cfg, steps_per_epoch=10)
+    s1.on_validation_end(0.3, global_step=100)
+    sd = {k: np.asarray(v) for k, v in s1.state_dict().items()}
+    for a in sd.values():
+        a.setflags(write=False)
+    s2 = LRScheduler(cfg, steps_per_epoch=10)
+    s2.load_state_dict(sd)
+    s2.on_validation_end(0.1, global_step=100)  # patience 0 -> factor *= 0.5
+    assert s2.factor == pytest.approx(0.5)
+    assert s2.plateau_best == pytest.approx(0.3)  # registry carried over
