@@ -38,6 +38,13 @@ def main():
                    "is_main": trainer.is_main,
                    "metrics": {k: float(v) for k, v in metrics.items()}}, f)
     print(f"rank{rank} fit done: {metrics}", flush=True)
+    # Align ranks before process exit: jax's atexit distributed shutdown runs
+    # a coordination-service barrier with a fixed deadline, and after fit()'s
+    # last collective the writer rank still flushes checkpoints/logs — under a
+    # loaded 1-core CI host that skew alone can blow the shutdown deadline
+    # (the non-writer rank reaches the barrier minutes earlier).
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("trainer_rank_exit")
 
 
 if __name__ == "__main__":
