@@ -297,8 +297,9 @@ def main(argv=None):
                         "which fuses this workload extremely well — default "
                         "off (also avoids ~2min of Mosaic compiles)")
     p.add_argument("--no_fused_stem", action="store_true",
-                   help="A/B lever: disable the fused Pallas stem kernel "
-                        "(kernels/stem.py; auto-on for supported stems)")
+                   help="skip the fused-Pallas-stem A/B variant "
+                        "(kernels/stem.py; default-off opt-in elsewhere — "
+                        "the XLA stem won the hardware A/B 2.6x)")
     p.add_argument("--beamk", default=1, type=int,
                    help="beam width; >1 measures full beam-search captioning "
                         "(LN rescoring) instead of greedy — the reference's "
@@ -394,8 +395,9 @@ def main(argv=None):
                                    args.vocab_size, args.precision,
                                    args.encoder_dim)
     # The batch sweep always runs the proven XLA stem; the fused Pallas stem
-    # (auto-on elsewhere for TPU inference) is measured as an A/B VARIANT at
-    # the winning batch below — a merely-slower kernel can then never drag
+    # (default-off opt-in — it lost the hardware A/B 2.6x, EXPERIMENTS.md)
+    # is still measured as an A/B VARIANT at the winning batch below so a
+    # future toolchain win would be caught — a slower kernel can never drag
     # the headline down, and its relay compiles (~60-150s/shape) are bounded
     # to one shape instead of taxing every sweep point.
     model.cfg = model.cfg.replace(fused_stem=False)

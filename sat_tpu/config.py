@@ -51,7 +51,8 @@ class SATConfig:
     cache_images: bool = False   # RAM-cache decoded images (subset-scale data)
     native_decode: Optional[bool] = None  # C++ jpeg pipeline (None = auto-detect)
     # fused Pallas stem kernel on the inference path (kernels/stem.py);
-    # None = auto (on for supported stems when running on TPU)
+    # validated opt-in — the real-chip A/B went to the XLA stem (2.6x at
+    # b512; EXPERIMENTS.md "fused stem verdict"), so None/False = off
     fused_stem: Optional[bool] = None
 
     # -- Vision encoder (reference: train.py:43-51; readme.md:110-125 encoder_size variant)
@@ -234,8 +235,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_native_decode", dest="native_decode",
                    action="store_false")
     p.add_argument("--fused_stem", default=None, action="store_true",
-                   help="force the fused Pallas stem kernel on the inference "
-                        "path (default: auto — on for supported stems on TPU)")
+                   help="opt into the fused Pallas stem kernel on the "
+                        "inference path (default off: the XLA stem measured "
+                        "2.6x faster on v5e — EXPERIMENTS.md)")
     p.add_argument("--no_fused_stem", dest="fused_stem", action="store_false")
     p.add_argument("--encoder_arch", default=d.encoder_arch, type=str)
     p.add_argument("--input_size", default=d.input_size, type=int)

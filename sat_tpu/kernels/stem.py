@@ -298,6 +298,14 @@ def fused_stem_pool(x: jax.Array, kernel: jax.Array, bn_scale: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, ro, lo_l), cd),
         interpret=interpret,
+        # the 7x7 geometries (R=6272, K=189 at 224px) put ~24 MB of
+        # intermediates (patch tensor, dot output, pool temporaries) on the
+        # kernel stack — past Mosaic's 16 MB default scoped-vmem limit
+        # (validated OOM on v5e, tools/validate_stem_tpu.py).  v5e has
+        # 128 MB of VMEM; one image-block in flight leaves plenty.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=96 * 1024 * 1024),
     )(p, wk, bnb, nsc, nsh)
     # rows (r, g) x lanes (p, f) -> NHWC: out col = ncol*g + p
     return out.reshape(b, rows, g, ncol, f).reshape(

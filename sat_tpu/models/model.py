@@ -93,23 +93,20 @@ class SATModel:
         """Run the fused Pallas stem kernel (kernels/stem.py) when enabled.
 
         Returns the stem output the backbone should resume from, or None for
-        the unfused flax path.  Auto policy (cfg.fused_stem=None): on for
-        supported stems (kernels/stem.py STEM_PLANS) when running on TPU —
-        fp32-exact / bf16-rounding-equivalent to the unfused path
-        (tests/test_stem_kernel.py), so this is purely a scheduling choice."""
+        the unfused flax path.  Numerics are fp32-exact / bf16-rounding-
+        equivalent to the unfused path (tests/test_stem_kernel.py), so this
+        is purely a scheduling choice — and the real-chip A/B settled it
+        AGAINST the kernel: on v5e the fused stem decodes at 34.2k vs the XLA
+        stem's 89.2k imgs/s @b512 (±1-4%, tools/validate_stem_tpu.py;
+        EXPERIMENTS.md "fused stem verdict").  Auto policy
+        (cfg.fused_stem=None) is therefore OFF; --fused_stem opts in (all 8
+        stem families compile and validate on hardware)."""
         from ..kernels.stem import (fused_stem_pool, fused_stem_pool_sharded,
                                     stem_plan, stem_supported)
         cfg = self.cfg
         mesh = self.mesh
         sharded = mesh is not None and int(mesh.devices.size) > 1
-        enabled = cfg.fused_stem
-        if enabled is None:
-            # auto: on-TPU inference — single chip, or multi-device when the
-            # caller registered its Mesh (model.mesh), which routes the
-            # pallas_call through a batch-axis shard_map (pallas_call itself
-            # has no GSPMD partitioning rules)
-            enabled = (jax.default_backend() not in ("cpu",)
-                       and (jax.device_count() == 1 or sharded))
+        enabled = bool(cfg.fused_stem)
         plan = stem_plan(cfg.encoder_arch)
         b, h, w, c = images.shape
         if not enabled or plan is None or h != w or c != 3:
