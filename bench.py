@@ -419,15 +419,16 @@ def main(argv=None):
     fused_arg = {"off": False, "step": True, "loop": "loop"}[args.fused]
 
     def measure(b, k_hi, early_exit=False):
-        """One config; when the relay is noisy (spread > 35%), remeasure
+        """One config; when the relay is noisy (spread > 25%), remeasure
         with a doubled chain length and keep the tighter run (VERDICT r1
-        #4 headline-stabilization)."""
+        #4 headline-stabilization; a same-session b256 run kept a 30%-
+        spread median under the old 35% threshold)."""
         v, spread = bench_batch(model, variables, b, args.max_gen_length,
                                 args.precision, k_small=2, k_large=k_hi,
                                 reps=1 if args.quick else 3,
                                 fused=fused_arg, beamk=args.beamk,
                                 early_exit=early_exit)
-        if spread > 0.35 and not args.quick:
+        if spread > 0.25 and not args.quick:
             v2, spread2 = bench_batch(model, variables, b,
                                       args.max_gen_length, args.precision,
                                       k_small=2, k_large=2 * k_hi, reps=3,
