@@ -11,6 +11,15 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# bench.py persists per-config record bands to bench_records.json at the repo
+# root; tests must never write through to the committed file
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "SAT_TPU_BENCH_RECORDS",
+    os.path.join(tempfile.mkdtemp(prefix="sat_tpu_bench_records_"),
+                 "records.json"))
+
 import jax  # noqa: E402  (import after env setup)
 
 # The axon sitecustomize registers the TPU plugin regardless of env vars;

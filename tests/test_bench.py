@@ -104,6 +104,79 @@ def test_train_microbatch_variant_kept_only_if_faster(monkeypatch, capsys):
     assert parsed["config"]["microbatch"] == 64
 
 
+def test_record_band_guard_remeasures_and_flags(monkeypatch, tmp_path, capsys):
+    """VERDICT r2 #8: a clean-spread run far below the known record band gets
+    ONE doubled-chain remeasure; if the low number reproduces it is emitted
+    flagged, never suppressed."""
+    records = tmp_path / "records.json"
+    key = bench._record_key(
+        "greedy_captioning_images_per_sec_per_chip",
+        type("A", (), {"arch": "shufflenet_v2_x0_5", "encoder_dim": 128,
+                       "input_size": 64, "precision": 16, "vocab_size": 128,
+                       "max_gen_length": 4, "fused": "off", "beamk": 1})())
+    records.write_text(json.dumps({key: {"value": 2000.0, "spread": 0.1}}))
+    monkeypatch.setenv("SAT_TPU_BENCH_RECORDS", str(records))
+
+    calls = []
+
+    def fake_bench_batch(model, variables, batch, gen, prec, k_small=2,
+                         k_large=16, **kw):
+        calls.append(k_large)
+        return 1000.0, 0.02  # reproducibly 50% below the band
+
+    monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
+    result = bench.main(["--batches", "8", "--input_size", "64",
+                         "--vocab_size", "128", "--max_gen_length", "4",
+                         "--encoder_dim", "128", "--no_fused_stem"])
+    assert result["value"] == 1000.0          # never suppressed
+    assert result["below_record_band"] is True
+    # the remeasure ran once with a doubled chain (sweep k=10 -> 20)
+    assert calls.count(20) == 1
+    # a below-band run must not overwrite the record
+    assert json.loads(records.read_text())[key]["value"] == 2000.0
+
+
+def test_record_band_guard_keeps_better_remeasure(monkeypatch, tmp_path,
+                                                  capsys):
+    records = tmp_path / "records.json"
+    key = bench._record_key(
+        "greedy_captioning_images_per_sec_per_chip",
+        type("A", (), {"arch": "shufflenet_v2_x0_5", "encoder_dim": 128,
+                       "input_size": 64, "precision": 16, "vocab_size": 128,
+                       "max_gen_length": 4, "fused": "off", "beamk": 1})())
+    records.write_text(json.dumps({key: {"value": 2000.0, "spread": 0.1}}))
+    monkeypatch.setenv("SAT_TPU_BENCH_RECORDS", str(records))
+
+    def fake_bench_batch(model, variables, batch, gen, prec, k_small=2,
+                         k_large=16, **kw):
+        # slow relay window on the sweep, honest rate on the doubled chain
+        return (1900.0, 0.02) if k_large == 20 else (1000.0, 0.02)
+
+    monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
+    result = bench.main(["--batches", "8", "--input_size", "64",
+                         "--vocab_size", "128", "--max_gen_length", "4",
+                         "--encoder_dim", "128", "--no_fused_stem"])
+    assert result["value"] == 1900.0
+    assert "below_record_band" not in result
+
+
+def test_new_record_is_persisted(monkeypatch, tmp_path, capsys):
+    records = tmp_path / "records.json"
+    monkeypatch.setenv("SAT_TPU_BENCH_RECORDS", str(records))
+
+    def fake_bench_batch(model, variables, batch, *a, **kw):
+        return 1234.0, 0.05
+
+    monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
+    bench.main(["--batches", "8", "--input_size", "64",
+                "--vocab_size", "128", "--max_gen_length", "4",
+                "--no_fused_stem"])
+    stored = json.loads(records.read_text())
+    assert len(stored) == 1
+    (entry,) = stored.values()
+    assert entry == {"value": 1234.0, "spread": 0.05}
+
+
 def test_train_microbatch_variant_skipped_for_small_batch(monkeypatch, capsys):
     calls = []
 
