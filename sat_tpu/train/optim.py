@@ -78,6 +78,24 @@ def _group_chain(cfg: SATConfig, weight_decay: float) -> optax.GradientTransform
     raise ValueError(cfg.opt)
 
 
+def _clip_by_global_norm_torch(max_norm: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics — what Lightning's
+    gradient_clip_algorithm="norm" invokes for the reference
+    (train.py:273-275): scale = max_norm / (global_norm + 1e-6), clamped to
+    <= 1.  optax.clip_by_global_norm omits torch's 1e-6 eps, a ~1e-6
+    relative difference on every binding step; matching it exactly keeps the
+    literal-reference trajectory suite (test_train_trajectory.py) tight."""
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+        return jax.tree_util.tree_map(lambda u: u * scale, updates), state
+
+    return optax.GradientTransformation(
+        lambda params: optax.EmptyState(), update_fn)
+
+
 def build_optimizer(cfg: SATConfig, params: Dict[str, Any]
                     ) -> Tuple[optax.GradientTransformation, Any]:
     """Returns (transformation, label_tree).  Chains exclude the LR factor."""
@@ -91,7 +109,7 @@ def build_optimizer(cfg: SATConfig, params: Dict[str, Any]
         FROZEN: optax.set_to_zero(),
     }
     clip = (optax.clip(cfg.clip_value) if cfg.grad_clip == "value"
-            else optax.clip_by_global_norm(cfg.clip_value)) \
+            else _clip_by_global_norm_torch(cfg.clip_value)) \
         if cfg.clip_value > 0 else optax.identity()
     tx = optax.chain(clip, optax.multi_transform(transforms, labels))
     return tx, labels

@@ -99,8 +99,16 @@ class LRScheduler:
     # ------------------------------------------------------------------
 
     def on_train_batch_end(self, global_step: int) -> None:
-        """Per-batch schedulers step only after warmup (model.py:618-626)."""
-        if global_step < self.warmup_steps or global_step <= 0:
+        """Per-batch schedulers step only after warmup (model.py:618-626).
+
+        Timing: the reference steps cosine/one_cycle INSIDE training_step,
+        BEFORE that batch's optimizer update — so batch t trains at f(t), not
+        f(t-1).  This hook runs after batch `global_step`; it must advance
+        whenever the NEXT batch is a stepping batch (next >= warmup; next is
+        always > 0), or the whole LR trajectory lags the reference by one
+        batch (caught by test_train_trajectory.py's literal-reference cosine
+        trajectory; the old `global_step <= 0` gate was that off-by-one)."""
+        if global_step + 1 < self.warmup_steps:
             return
         if self.cfg.scheduler == "cosine":
             self.t_cur += 1

@@ -6,221 +6,32 @@ oracle, instead of test-local re-implementations of its math.  This retires
 the "shared misreading" risk: if sat_tpu and a hand-written torch oracle both
 misread model.py the same way, only running model.py itself can catch it.
 
-Environment shims (pytorch_lightning and torchvision are not installed):
-* `pytorch_lightning` is stubbed with a minimal LightningModule whose
-  save_hyperparameters() captures the **kwargs of SAT.__init__ — the only
-  Lightning behavior the imported code paths touch.
-* `torchvision.models` / `torchvision.transforms.Normalize` are stubbed;
-  the encoder is then replaced with a fixed-annotations module (the CNN zoo
-  has its own numeric parity suite in test_torch_import.py), so these tests
-  isolate decoder/training/inference math.
-
-Weights flow REFERENCE -> sat_tpu through the production converter
-(models/lightning_import.convert_decoder), so the converter itself is under
-test too.
-
-A note on the reference's InitLSTM layout quirk: its
-`init.reshape(2*layers, batch, H)` on a (batch, 2*layers*H) tensor
-(model.py:79) is a raw memory reinterpretation that mixes h0/c0 ACROSS batch
-rows whenever the rows differ.  sat_tpu replicates it bit-for-bit where
-parity matters: the teacher-forced train path uses
-`init_lstm_state(..., batch_reshape=True)` (the reference's exact cross-row
-layout — pinned here against the literal reference on multi-row batches),
-and beam search uses `init_lstm_state_beams` (each beam slot gets the same
-projection slice the reference's beamk-expanded rows produce).  The
-per-row-transpose layout (`batch_reshape=False`) survives only as the
-greedy-decode default, where the reference's own per-image loop (B=1 per
-call) makes the two layouts identical anyway.
+Shared harness (stubs, paired-model construction, the InitLSTM layout-quirk
+notes) lives in tests/_reference_harness.py — also used by
+test_train_trajectory.py (the r2 #1 backward+optimizer trajectory suite).
 """
 
 from __future__ import annotations
-
-import sys
-import types
 
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
 
-REFERENCE_DIR = "/root/reference"
+from _reference_harness import (ENC_D, GRID_H, GRID_W, V,  # noqa: E402
+                                load_reference, make_captions, make_pair)
 
-
-# ---------------------------------------------------------------------------
-# reference import with stubbed pytorch_lightning / torchvision
-# ---------------------------------------------------------------------------
-
-
-def _build_stubs():
-    pl = types.ModuleType("pytorch_lightning")
-
-    class LightningModule(torch.nn.Module):
-        def save_hyperparameters(self):
-            import inspect
-            from argparse import Namespace
-            kwargs = inspect.currentframe().f_back.f_locals.get("kwargs", {})
-            object.__setattr__(self, "hparams", Namespace(**kwargs))
-
-        @property
-        def device(self):
-            return torch.device("cpu")
-
-    pl.LightningModule = LightningModule
-
-    class Trainer:  # util.py's RestartCheckpoint type-annotates with it
-        pass
-
-    pl.Trainer = Trainer
-
-    cb = types.ModuleType("pytorch_lightning.callbacks")
-
-    class ModelCheckpoint:  # util.py imports it; never constructed here
-        pass
-
-    class Callback:
-        pass
-
-    cb.ModelCheckpoint = ModelCheckpoint
-    cb.Callback = Callback
-    pl.callbacks = cb
-
-    tv = types.ModuleType("torchvision")
-    tvm = types.ModuleType("torchvision.models")
-    tvt = types.ModuleType("torchvision.transforms")
-
-    class Normalize(torch.nn.Module):
-        def __init__(self, mean, std):
-            super().__init__()
-
-        def forward(self, x):
-            return x
-
-    tvt.Normalize = Normalize
-    tv.models = tvm
-    tv.transforms = tvt
-    return {"pytorch_lightning": pl, "pytorch_lightning.callbacks": cb,
-            "torchvision": tv, "torchvision.models": tvm,
-            "torchvision.transforms": tvt}
+_captions = make_captions
 
 
 @pytest.fixture(scope="module")
 def refmod():
     """Import the reference's model.py + util.py (the REAL files)."""
-    stubs = _build_stubs()
-    saved = {k: sys.modules.get(k) for k in
-             list(stubs) + ["model", "util"]}
-    sys.modules.update(stubs)
-    sys.path.insert(0, REFERENCE_DIR)
+    model, restore = load_reference()
     try:
-        import importlib
-        util = importlib.import_module("util")
-        model = importlib.import_module("model")
-        assert model.__file__.startswith(REFERENCE_DIR)
         yield model
     finally:
-        sys.path.remove(REFERENCE_DIR)
-        for k, v in saved.items():
-            if v is None:
-                sys.modules.pop(k, None)
-            else:
-                sys.modules[k] = v
-
-
-# ---------------------------------------------------------------------------
-# paired model construction: reference SAT + sat_tpu params via the converter
-# ---------------------------------------------------------------------------
-
-V = 50
-GRID_H, GRID_W = 2, 3          # non-square grid: catches flatten-order bugs
-ENC_D = 24
-
-
-def _vocab():
-    stoi = {"<PAD>": 0, "<UNK>": 1, "<START>": 2, "<END>": 3}
-    for i in range(4, V):
-        stoi[f"w{i}"] = i
-    itos = {v: k for k, v in stoi.items()}
-    return stoi, itos
-
-
-class FixedAnnotEncoder(torch.nn.Module):
-    """Stands in for get_encoder: returns stored (B, D, H, W) annotations."""
-
-    def __init__(self, annots: torch.Tensor):
-        super().__init__()
-        self.register_buffer("annots", annots)
-
-    def forward(self, x):
-        return self.annots[: x.shape[0]]
-
-
-def make_pair(refmod, *, batch: int, decoder_layers: int = 1,
-              deep_output: bool = True, weight_tying: bool = False,
-              label_smoothing: float = 0.1, seed: int = 0,
-              embed_norm=None):
-    """Returns (ref SAT in eval mode, sat_tpu cfg, sat_tpu decoder params,
-    annots_torch (B,D,H,W), annots_jax (B,L,D))."""
-    import jax.numpy as jnp
-    from sat_tpu.config import SATConfig
-    from sat_tpu.models.lightning_import import convert_decoder
-
-    torch.manual_seed(seed)
-    stoi, itos = _vocab()
-    annots_t = torch.randn(batch, ENC_D, GRID_H, GRID_W)
-
-    hp = dict(vocab_size=V, vocab_stoi=stoi, vocab_itos=itos,
-              embed_dim=16, embed_norm=embed_norm, embedding_dropout=0.0,
-              pretrained_embedding=None, encoder_dim=ENC_D,
-              attention_dim=20, decoder_dim=28,
-              decoder_layers=decoder_layers, deep_output=deep_output,
-              weight_tying=weight_tying, dropout=0.0,
-              label_smoothing=label_smoothing, att_gamma=1.0)
-
-    orig_get_encoder = refmod.get_encoder
-    refmod.get_encoder = lambda args: FixedAnnotEncoder(annots_t)
-    try:
-        sat = refmod.SAT(**hp)
-    finally:
-        refmod.get_encoder = orig_get_encoder
-    sat.eval()
-    if embed_norm is not None:
-        # drive torch's in-place max_norm renormalization to its steady
-        # state (every row accessed once) BEFORE weights are exported: the
-        # pre-first-access transient is access-order-dependent mutable state
-        # that any trained checkpoint has already left behind
-        with torch.no_grad():
-            sat.embedding(torch.arange(V))
-
-    cfg = SATConfig(vocab_size=V, vocab_stoi=stoi, embed_dim=16,
-                    attention_dim=20, decoder_dim=28, encoder_dim=ENC_D,
-                    decoder_layers=decoder_layers, deep_output=deep_output,
-                    weight_tying=weight_tying, embed_norm=embed_norm,
-                    label_smoothing=label_smoothing, att_gamma=1.0,
-                    dropout=0.0, embedding_dropout=0.0)
-
-    dec_sd = {k: v.detach().numpy() for k, v in sat.state_dict().items()
-              if not k.startswith("encoder.")}
-    params = {k: jnp.asarray(v) if not isinstance(v, dict) else v
-              for k, v in convert_decoder(dec_sd, cfg).items()}
-    params = __import__("jax").tree_util.tree_map(jnp.asarray, params)
-
-    # reference SoftAttention flattens (b,c,h,w) -> (b, h*w, c) row-major
-    # (model.py:97-98); same layout here
-    annots_j = jnp.asarray(
-        annots_t.permute(0, 2, 3, 1).reshape(batch, GRID_H * GRID_W, ENC_D)
-        .numpy())
-    return sat, cfg, params, annots_t, annots_j
-
-
-def _captions(batch_rows: int, T: int, seed: int = 1):
-    rng = np.random.default_rng(seed)
-    caps = rng.integers(4, V, (batch_rows, T)).astype(np.int64)
-    caps[:, 0] = 2                                  # <START>
-    lens = rng.integers(2, T - 1, (batch_rows,)).astype(np.int64)
-    for i, l in enumerate(lens):
-        caps[i, l] = 3                              # <END> at position len
-        caps[i, l + 1:] = 0                         # <PAD>
-    return caps, lens
+        restore()
 
 
 # ---------------------------------------------------------------------------

@@ -61,9 +61,9 @@ def test_cosine_warm_restarts_matches_torch():
     for step in range(4 * steps_per_epoch):
         lrs_ours.append(sched.current_lrs(step)["decoder"])
         lrs_torch.append(opt.param_groups[0]["lr"])
-        sched.on_train_batch_end(step if step > 0 else 1)  # step>0 gate
-        tsched.step()
-    np.testing.assert_allclose(lrs_ours[1:], lrs_torch[1:], rtol=1e-6)
+        sched.on_train_batch_end(step)  # production gate (reference steps
+        tsched.step()                   # per batch INSIDE training_step)
+    np.testing.assert_allclose(lrs_ours, lrs_torch, rtol=1e-6)
     # t0 adjustment ends near min lr (dev/dev_cosine_lr.py:69 'Last lr=')
     assert lrs_ours[-1] < 1e-3 * 0.2
 
@@ -81,7 +81,7 @@ def test_one_cycle_matches_torch():
     for step in range(3 * spe):
         lrs_ours.append(sched.current_lrs(step)["decoder"])
         lrs_torch.append(opt.param_groups[0]["lr"])
-        sched.on_train_batch_end(max(step, 1))
+        sched.on_train_batch_end(step)
         if step < 3 * spe - 1:
             tsched.step()
     np.testing.assert_allclose(lrs_ours, lrs_torch, rtol=1e-5)
