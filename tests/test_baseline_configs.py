@@ -11,6 +11,8 @@ from sat_tpu.config import SATConfig
 from sat_tpu.data.preprocess import make_synthetic_dataset
 from sat_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 @pytest.fixture(scope="module")
 def synth(tmp_path_factory):

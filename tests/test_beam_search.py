@@ -15,6 +15,8 @@ from sat_tpu.models import decoder as D
 from sat_tpu.decode.beam import beam_search, greedy_decode
 from sat_tpu.decode.api import caption_from_annotations, unpack_beam_result
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 def make_cfg(v=31, **kw):
     stoi = {f"w{i}": i for i in range(1, v - 3)}

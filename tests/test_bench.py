@@ -11,6 +11,8 @@ import pytest
 
 import bench
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 def test_quick_bench_json_line(capsys):
     result = bench.main(["--quick", "--batches", "8", "--input_size", "64",

@@ -10,6 +10,8 @@ from sat_tpu.config import SATConfig
 from sat_tpu.models.encoder import SATEncoder, build_encoder, probe_encoder
 from sat_tpu.models.backbones import BACKBONES, channel_shuffle
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 # arch -> (final_dim, grid at 224) from the torchvision reference encoders —
 # all 24 supported names (readme.md:99-105)
 EXPECTED = {

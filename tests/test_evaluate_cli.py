@@ -13,6 +13,8 @@ from sat_tpu.evalx.evaluate import main as eval_main
 from sat_tpu.models.model import SATModel
 from sat_tpu.train.checkpoints import save_checkpoint
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

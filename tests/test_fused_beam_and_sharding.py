@@ -8,6 +8,9 @@ from sat_tpu.config import SATConfig
 from sat_tpu.models import decoder as D
 from sat_tpu.decode.beam import beam_search, greedy_decode
 from sat_tpu.parallel.mesh import create_mesh, data_sharding, replicate_tree
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
 
 
 def make_cfg(v=31):

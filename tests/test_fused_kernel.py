@@ -13,6 +13,8 @@ from sat_tpu.kernels.decoder_step import (FusedWeights, fused_decoder_step,
                                           fused_output_logits,
                                           pack_fused_weights)
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 def make_cfg(**kw):
     base = dict(vocab_size=50, embed_dim=16, encoder_dim=24, attention_dim=8,

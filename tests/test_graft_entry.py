@@ -2,6 +2,10 @@
 one sharded DP train step on the virtual 8-device mesh."""
 
 import jax
+import pytest
+
+
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
 
 
 def test_entry_compiles_and_runs():

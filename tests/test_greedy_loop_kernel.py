@@ -10,6 +10,8 @@ from sat_tpu.models import decoder as D
 from sat_tpu.decode.beam import greedy_decode
 from sat_tpu.kernels.greedy_loop import greedy_loop_supported
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 def make_cfg(**kw):
     v = kw.pop("vocab_size", 31)

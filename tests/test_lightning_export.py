@@ -21,6 +21,8 @@ from sat_tpu.models.model import SATModel
 
 from test_lightning_import import build_reference_ckpt
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 def tiny_cfg(arch, **kw):
     v = 40

@@ -18,6 +18,8 @@ import pytest
 from sat_tpu.config import SATConfig
 from sat_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 def _make_batch(rng, b, s, v, n_refs=5, T=10):
     lens = rng.integers(3, T - 1, (b, n_refs)).astype(np.int32)

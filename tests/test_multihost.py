@@ -22,6 +22,8 @@ import pytest
 from sat_tpu.data.dataset import CaptionDataset, CaptionLoader
 from sat_tpu.data.preprocess import make_synthetic_dataset
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 

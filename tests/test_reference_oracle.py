@@ -21,6 +21,8 @@ torch = pytest.importorskip("torch")
 from _reference_harness import (ENC_D, GRID_H, GRID_W, V,  # noqa: E402
                                 load_reference, make_captions, make_pair)
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 _captions = make_captions
 
 

@@ -9,6 +9,8 @@ from sat_tpu.config import SATConfig
 from sat_tpu.data.preprocess import make_synthetic_dataset
 from sat_tpu.train.loop import Trainer
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 def test_resume_continues_from_checkpoint(tmp_path):
     json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=8, n_val=8,

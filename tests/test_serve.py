@@ -13,6 +13,8 @@ from sat_tpu.models.model import SATModel
 from sat_tpu.serve import gather_images, main as serve_main
 from sat_tpu.train.checkpoints import save_checkpoint
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 @pytest.fixture(scope="module")
 def ckpt_and_images(tmp_path_factory):

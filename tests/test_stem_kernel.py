@@ -14,6 +14,8 @@ import pytest
 from sat_tpu.kernels.stem import (build_stem_patches, fused_stem_pool,
                                   stem_pool_reference, stem_supported)
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 MEAN = (0.485, 0.456, 0.406)
 STD = (0.229, 0.224, 0.225)
 

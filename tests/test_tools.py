@@ -15,6 +15,8 @@ from sat_tpu.models.model import SATModel
 from sat_tpu.train.checkpoints import (load_model_from_checkpoint,
                                        save_checkpoint)
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

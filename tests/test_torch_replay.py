@@ -34,6 +34,8 @@ import jax.numpy as jnp  # noqa: E402
 from sat_tpu.models.backbones import BACKBONES  # noqa: E402
 from sat_tpu.models.torch_import import convert_backbone  # noqa: E402
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 # ---------------------------------------------------------------------------
 # torchvision building blocks (state_dict-key-compatible)

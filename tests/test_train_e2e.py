@@ -16,6 +16,8 @@ from sat_tpu.train.loop import Trainer
 from sat_tpu.train.checkpoints import (load_checkpoint,
                                        load_model_from_checkpoint)
 
+pytestmark = pytest.mark.slow  # excluded from the <5-min fast tier
+
 
 @pytest.fixture(scope="module")
 def synth_json(tmp_path_factory):
