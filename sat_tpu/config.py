@@ -54,6 +54,13 @@ class SATConfig:
     # validated opt-in — the real-chip A/B went to the XLA stem (2.6x at
     # b512; EXPERIMENTS.md "fused stem verdict"), so None/False = off
     fused_stem: Optional[bool] = None
+    # space-to-depth packed XLA stem on the inference path
+    # (models/packed_stem.py): one 5x5/s4 conv at 96 lanes + 9-slice pool
+    # instead of the 24-lane 3x3/s2 conv + reduce_window.  Validated opt-in:
+    # the real-chip A/B went to the plain XLA stem (1.97 vs 1.25 ms/batch
+    # @b512, the pool's channel-offset slices relayout — EXPERIMENTS.md
+    # "packed stem verdict"), so None/False = off
+    packed_stem: Optional[bool] = None
 
     # -- Vision encoder (reference: train.py:43-51; readme.md:110-125 encoder_size variant)
     encoder_arch: str = "shufflenet_v2_x0_5"
@@ -239,6 +246,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "inference path (default off: the XLA stem measured "
                         "2.6x faster on v5e — EXPERIMENTS.md)")
     p.add_argument("--no_fused_stem", dest="fused_stem", action="store_false")
+    p.add_argument("--packed_stem", default=None, action="store_true",
+                   help="space-to-depth packed XLA stem (inference; exact). "
+                        "Default off: the plain XLA stem measured faster "
+                        "on v5e (EXPERIMENTS.md packed-stem verdict)")
+    p.add_argument("--no_packed_stem", dest="packed_stem",
+                   action="store_false")
     p.add_argument("--encoder_arch", default=d.encoder_arch, type=str)
     p.add_argument("--input_size", default=d.input_size, type=int)
     _add_bool_flag(p, "pretrained")

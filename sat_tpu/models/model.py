@@ -78,7 +78,7 @@ class SATModel:
                 enc_vars, images, mutable=["batch_stats"])
             return annots, mutated["batch_stats"]
         return self.encoder_eval.apply(
-            enc_vars, images, stem_out=self._fused_stem_out(variables, images))
+            enc_vars, images, stem_out=self._stem_out(variables, images))
 
     def encode_features(self, variables: Dict[str, Any], images: jax.Array):
         """4-D feature map path (flatten=False) for visualization."""
@@ -86,7 +86,53 @@ class SATModel:
                     "batch_stats": variables["state"]["batch_stats"]}
         return self.encoder_eval.apply(
             enc_vars, images, flatten=False,
-            stem_out=self._fused_stem_out(variables, images))
+            stem_out=self._stem_out(variables, images))
+
+    def _stem_out(self, variables: Dict[str, Any],
+                  images: jax.Array) -> Optional[jax.Array]:
+        """Inference-stem override: the fused Pallas kernel or the packed
+        XLA stem, both measured opt-ins (default: the plain XLA stem)."""
+        out = self._fused_stem_out(variables, images)
+        if out is None:
+            out = self._packed_stem_out(variables, images)
+        return out
+
+    def _packed_stem_out(self, variables: Dict[str, Any],
+                         images: jax.Array) -> Optional[jax.Array]:
+        """Space-to-depth packed stem (models/packed_stem.py): exact
+        re-expression of conv1+BN+relu+maxpool with the 2x2 output block
+        packed into lanes — built because the 24-channel stem ran at 24/128
+        lane occupancy (~22% of the b512 greedy-decode step).  The real-chip
+        xplane A/B went AGAINST it: packed conv 1.06 vs 0.79 ms/batch and
+        9-slice pool 0.91 vs 0.46 (the channel-offset slices relayout the
+        packed tensor; EXPERIMENTS.md "round 3: packed stem verdict"), so
+        the auto policy is OFF; --packed_stem opts in (numerics pinned by
+        tests/test_packed_stem.py)."""
+        from ..kernels.stem import stem_plan
+        from .packed_stem import packed_stem_pool, packed_stem_supported
+        cfg = self.cfg
+        if cfg.packed_stem is False or (cfg.packed_stem is None
+                                        and not self._packed_stem_auto()):
+            return None
+        plan = stem_plan(cfg.encoder_arch)
+        b, h, w, c = images.shape
+        if plan is None or c != 3:
+            return None
+        conv_name, bn_name, act, pool, kh = plan
+        if kh != 3 or act != "relu" or not pool:
+            return None   # 3x3-stem + relu + maxpool geometries only
+        bp = variables["params"]["encoder"]["backbone"]
+        bs = variables["state"]["batch_stats"]["backbone"]
+        kernel = bp[conv_name]["kernel"]
+        if not packed_stem_supported(h, w, kernel):
+            return None
+        return packed_stem_pool(
+            images, kernel, bp[bn_name]["scale"], bp[bn_name]["bias"],
+            bs[bn_name]["mean"], bs[bn_name]["var"], 1e-5, cfg.mean, cfg.std)
+
+    def _packed_stem_auto(self) -> bool:
+        # measured on v5e @b512: packed stem 1.97 vs XLA stem 1.25 ms/batch
+        return False
 
     def _fused_stem_out(self, variables: Dict[str, Any],
                         images: jax.Array) -> Optional[jax.Array]:

@@ -1,6 +1,6 @@
 """Aggregate XLA op self-times from a jax.profiler xplane.pb capture.
 
-Usage: python tools/parse_xplane.py <trace_dir>
+Usage: python tools/parse_xplane.py <trace_dir> [top_n=18]
 
 Prints, per device plane and trace line, total time and the top ops by
 summed self-time.  This is THE way to A/B op-level changes on the axon
@@ -33,5 +33,6 @@ for plane in sp.planes:
         total = sum(tot.values())
         print(f"-- line: {line.name}: {len(line.events)} events, "
               f"total {total:.2f} ms")
-        for name, d in tot.most_common(18):
+        top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 18
+        for name, d in tot.most_common(top_n):
             print(f"   {d:9.3f} ms  {100*d/total:5.1f}%  {name[:100]}")
