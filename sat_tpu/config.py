@@ -54,6 +54,12 @@ class SATConfig:
     # validated opt-in — the real-chip A/B went to the XLA stem (2.6x at
     # b512; EXPERIMENTS.md "fused stem verdict"), so None/False = off
     fused_stem: Optional[bool] = None
+    # whole-net channel-permutation folding for the shufflenet family's
+    # inference path (models/shufflenet_folded.py): every channel shuffle
+    # becomes a kernel-side row gather + a few contiguous-slice concats —
+    # the riffle relayouts were 44% of the b512 greedy step.  None = auto
+    # (ON for shufflenet_v2_* in eval; exact math, fp order aside)
+    folded_encoder: Optional[bool] = None
     # space-to-depth packed XLA stem on the inference path
     # (models/packed_stem.py): one 5x5/s4 conv at 96 lanes + 9-slice pool
     # instead of the 24-lane 3x3/s2 conv + reduce_window.  Validated opt-in:
@@ -246,6 +252,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "inference path (default off: the XLA stem measured "
                         "2.6x faster on v5e — EXPERIMENTS.md)")
     p.add_argument("--no_fused_stem", dest="fused_stem", action="store_false")
+    p.add_argument("--folded_encoder", default=None, action="store_true",
+                   help="whole-net shuffle-permutation folding on the "
+                        "shufflenet inference path (exact). Default: auto "
+                        "(on for shufflenet_v2_*)")
+    p.add_argument("--no_folded_encoder", dest="folded_encoder",
+                   action="store_false")
     p.add_argument("--packed_stem", default=None, action="store_true",
                    help="space-to-depth packed XLA stem (inference; exact). "
                         "Default off: the plain XLA stem measured faster "

@@ -77,16 +77,37 @@ class SATModel:
             annots, mutated = self.encoder_train.apply(
                 enc_vars, images, mutable=["batch_stats"])
             return annots, mutated["batch_stats"]
+        if self._folded_encoder_applies(images):
+            from .shufflenet_folded import folded_encode
+            return folded_encode(variables, images, self.cfg,
+                                 stem_out=self._stem_out(variables, images))
         return self.encoder_eval.apply(
             enc_vars, images, stem_out=self._stem_out(variables, images))
 
     def encode_features(self, variables: Dict[str, Any], images: jax.Array):
         """4-D feature map path (flatten=False) for visualization."""
+        if self._folded_encoder_applies(images):
+            from .shufflenet_folded import folded_encode
+            return folded_encode(variables, images, self.cfg, flatten=False,
+                                 stem_out=self._stem_out(variables, images))
         enc_vars = {"params": variables["params"]["encoder"],
                     "batch_stats": variables["state"]["batch_stats"]}
         return self.encoder_eval.apply(
             enc_vars, images, flatten=False,
             stem_out=self._stem_out(variables, images))
+
+    def _folded_encoder_applies(self, images: jax.Array) -> bool:
+        """Whole-net shuffle-permutation folding (models/shufflenet_folded.py)
+        on the eval path.  Auto policy (cfg.folded_encoder=None): ON for the
+        shufflenet_v2 family — the folded forward is the same math in a
+        layout XLA schedules without the riffle relayout copies that cost
+        44% of the b512 greedy step (EXPERIMENTS.md round-3 profile)."""
+        cfg = self.cfg
+        if cfg.folded_encoder is False:
+            return False
+        if not cfg.encoder_arch.startswith("shufflenet_v2"):
+            return False
+        return images.shape[-1] == 3
 
     def _stem_out(self, variables: Dict[str, Any],
                   images: jax.Array) -> Optional[jax.Array]:

@@ -23,16 +23,22 @@ ap.add_argument("--beam", type=int, default=0,
                 help="profile beam search at this k (0 = greedy)")
 ap.add_argument("--packed", type=int, default=None, choices=(0, 1),
                 help="force the packed stem off/on (default: auto policy)")
+ap.add_argument("--folded", type=int, default=None, choices=(0, 1),
+                help="force the folded shufflenet encoder off/on "
+                     "(default: auto policy)")
 ap.add_argument("--steps", type=int, default=16)
 args = ap.parse_args()
 
 B, K = args.batch, args.beam
 OUT = (f"/tmp/prof_dec_b{B}" + (f"_beam{K}" if K else "")
-       + ("" if args.packed is None else f"_packed{args.packed}"))
+       + ("" if args.packed is None else f"_packed{args.packed}")
+       + ("" if args.folded is None else f"_folded{args.folded}"))
 model, variables = build_model("shufflenet_v2_x0_5", 224, 4096, 16,
                                encoder_dim=128)
 if args.packed is not None:
     model.cfg.packed_stem = bool(args.packed)
+if args.folded is not None:
+    model.cfg.folded_encoder = bool(args.folded)
 rng = np.random.default_rng(0)
 im = jnp.asarray(rng.random((B, 224, 224, 3), np.float32), jnp.bfloat16)
 
