@@ -112,10 +112,33 @@ def main(argv=None):
                         "random captions: same production model config, but "
                         "BLEU-4 must converge toward 1.0 — the at-scale "
                         "quality-evidence run")
+    p.add_argument("--compositional", action="store_true",
+                   help="use the compositional caption grammar "
+                        "(sat_tpu/data/compositional.py): 2-object scenes, "
+                        "~1,070-word vocab, 8-18 token captions, 5 paraphrase "
+                        "refs — the COCO-statistics stand-in; the report "
+                        "prints the no-image prior-baseline BLEU floor")
+    p.add_argument("--save_best", default=None, metavar="PATH",
+                   help="save a full checkpoint of the best-bleu4 epoch "
+                        "(feeds bench.py --checkpoint serving measurements)")
     a = p.parse_args(argv)
 
     t0 = time.time()
-    if a.learnable:
+    if a.compositional:
+        from sat_tpu.data.compositional import (make_compositional_dataset,
+                                                prior_baseline_bleu)
+        json_path = os.path.join(a.out, "compositional.json")
+        if not os.path.exists(json_path):
+            print(f"generating {a.n} compositional 224px scenes ...",
+                  file=sys.stderr)
+            json_path = make_compositional_dataset(
+                a.out, n_train=a.n, n_val=a.n_val,
+                n_test=max(a.n_val // 2, 8), image_size=224)
+        floor = prior_baseline_bleu(json_path)
+        print("no-image prior baseline: "
+              + " ".join(f"{k}={v:.4f}" for k, v in floor.items()),
+              file=sys.stderr)
+    elif a.learnable:
         from sat_tpu.data.preprocess import make_learnable_dataset
         json_path = os.path.join(a.out, "colors.json")
         if not os.path.exists(json_path):
@@ -148,6 +171,7 @@ def main(argv=None):
         val_early_exit=True, clip_value=5.0, grad_clip="norm", seed=0)
 
     rows = []
+    best_bleu4 = -1.0
     trainer = Trainer(cfg, log_root=os.path.join(a.out, "logs"))
     spe = len(trainer.train_loader)
     print(f"steps/epoch={spe} val_batches={len(trainer.val_loader)}",
@@ -167,6 +191,13 @@ def main(argv=None):
         print(f"epoch {epoch}: train {t_train:.1f}s ({rate:.0f} imgs/s) "
               f"val {t_val:.1f}s loss={means.get('loss', 0):.3f} "
               f"bleu4={val.get('bleu4', 0):.4f}", file=sys.stderr)
+        if a.save_best and val.get("bleu4", 0.0) > best_bleu4:
+            best_bleu4 = val.get("bleu4", 0.0)
+            from sat_tpu.train.checkpoints import save_checkpoint
+            save_checkpoint(a.save_best, trainer.cfg,
+                            trainer._checkpoint_tree())
+            print(f"  saved best checkpoint (bleu4={best_bleu4:.4f}) "
+                  f"-> {a.save_best}", file=sys.stderr)
         if epoch + 1 == a.resume_at and epoch + 1 < a.epochs:
             # mid-soak operational resume: full checkpoint -> fresh Trainer
             from sat_tpu.train.checkpoints import save_checkpoint
