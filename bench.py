@@ -49,7 +49,7 @@ def build_model(arch: str, input_size: int, vocab_size: int, precision: int,
 def bench_batch(model, variables, batch: int, max_gen_length: int,
                 precision: int, k_small: int = 2, k_large: int = 16,
                 reps: int = 3, fused=False, beamk: int = 1,
-                early_exit: bool = False):
+                early_exit: bool = False, images=None):
     """Honest device timing through the axon tunnel.
 
     Client-side completion signals (block_until_ready) through the relay fire
@@ -71,10 +71,16 @@ def bench_batch(model, variables, batch: int, max_gen_length: int,
     from sat_tpu.decode.beam import beam_search, greedy_decode
 
     dt_in = jnp.bfloat16 if precision == 16 else jnp.float32
-    rng = np.random.default_rng(0)
-    im0 = jnp.asarray(rng.random((batch, model.cfg.input_size,
-                                  model.cfg.input_size, 3), np.float32),
-                      dtype=dt_in)
+    if images is not None:
+        # trained-checkpoint serving mode: real in-distribution pixels so the
+        # decoded caption lengths (and thus early_exit's win) are real
+        im0 = jnp.asarray(np.asarray(images, np.float32) / 255.0, dtype=dt_in)
+        assert im0.shape[0] == batch, (im0.shape, batch)
+    else:
+        rng = np.random.default_rng(0)
+        im0 = jnp.asarray(rng.random((batch, model.cfg.input_size,
+                                      model.cfg.input_size, 3), np.float32),
+                          dtype=dt_in)
 
     @partial(jax.jit, static_argnums=2)
     def loop(variables, im, k):
@@ -210,6 +216,107 @@ def bench_train_step(arch: str, input_size: int, vocab_size: int,
     per_step = float(np.median(pairs))
     spread = (max(pairs) - min(pairs)) / per_step if len(pairs) > 1 else 0.0
     return batch / per_step, float(spread)
+
+
+def bench_checkpoint(args):
+    """Serving measurements off a TRAINED checkpoint with a real
+    caption-length distribution — the regime early-exit decoding exists for
+    (the reference's decode loop stops when beams finish, model.py:427-446).
+    Random-weight benches cannot show the effect: <END> rarely fires, so the
+    while_loop path ties the fixed scan minus loop overhead.  Measures
+    greedy and beam-LN captioning, each with and without early_exit, on
+    in-distribution images (--images; e.g. the compositional-soak image dir
+    that produced the checkpoint), and reports the decoded caption-length
+    stats next to the rates so the early-exit win is interpretable."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from sat_tpu.decode.beam import beam_search, greedy_decode
+    from sat_tpu.train.checkpoints import load_any_checkpoint
+
+    model, variables = load_any_checkpoint(args.checkpoint)
+    cfg = model.cfg
+    if args.precision == 16:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            variables)
+    size = cfg.input_size
+    batch = (args.batches or [256])[-1]
+    # serving decode budget: the checkpoint's own validation cap unless the
+    # caller overrides it — a trained model must be ALLOWED to run past its
+    # typical caption length for early_exit's win to be honest
+    gen = args.max_gen_length or int(getattr(cfg, "val_max_len", None) or 20)
+    beamk = args.beamk if args.beamk > 1 else 3
+
+    if args.images:
+        from sat_tpu import native
+        from sat_tpu.serve import decode_images, gather_images
+        paths = gather_images(args.images)
+        assert paths, f"--images matched nothing: {args.images}"
+        need = -(-batch // len(paths))
+        paths = (paths * need)[:batch]
+        imgs, ok = decode_images(paths, size, native.shared_pool())
+        good = np.flatnonzero(ok)
+        assert good.size, "no decodable images"
+        images = imgs[good[np.arange(batch) % good.size]]
+    else:
+        print("# WARNING: no --images given; random pixels make caption "
+              "lengths (and the early-exit numbers) unrepresentative",
+              file=sys.stderr)
+        images = (np.random.default_rng(0)
+                  .integers(0, 256, (batch, size, size, 3)).astype(np.uint8))
+
+    # decoded caption-length stats (one fetch per mode, off-clock)
+    dt = jnp.bfloat16 if args.precision == 16 else jnp.float32
+    im_dev = jnp.asarray(images.astype(np.float32) / 255.0, dt)
+    annots = model.encode(variables, im_dev, train=False)
+    gl = np.asarray(greedy_decode(variables["params"]["decoder"], cfg, annots,
+                                  max_gen_length=gen).lengths)
+    bl = np.asarray(beam_search(variables["params"]["decoder"], cfg, annots,
+                                beamk=beamk, max_gen_length=gen,
+                                rescore_method="LN").lengths)
+    len_stats = {"greedy_mean": round(float(gl.mean()), 2),
+                 "greedy_p90": int(np.percentile(gl, 90)),
+                 "beam_mean": round(float(bl.mean()), 2),
+                 "beam_max": int(bl.max()), "cap": gen}
+    print(f"# caption lengths: greedy mean {len_stats['greedy_mean']} "
+          f"p90 {len_stats['greedy_p90']}, beam-{beamk} mean "
+          f"{len_stats['beam_mean']} max {len_stats['beam_max']} "
+          f"(cap {gen})", file=sys.stderr)
+
+    k_large = 12 if args.quick else 10
+    reps = 1 if args.quick else 3
+    variants = {}
+    for name, bk, ee in (("greedy", 1, False), ("greedy_early_exit", 1, True),
+                         (f"beam{beamk}_LN", beamk, False),
+                         (f"beam{beamk}_LN_early_exit", beamk, True)):
+        try:
+            v, spread = bench_batch(model, variables, batch, gen,
+                                    args.precision, k_small=2,
+                                    k_large=k_large, reps=reps, beamk=bk,
+                                    early_exit=ee, images=images)
+        except Exception as e:
+            print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        variants[name] = {"imgs_per_sec": round(v, 1),
+                          "spread": _finite(spread)}
+        print(f"# ckpt b={batch}: {name}: {v:.0f} imgs/s "
+              f"(spread {spread:.0%})", file=sys.stderr)
+    assert variants, "every serving variant failed"
+    best_name = max(variants, key=lambda n: variants[n]["imgs_per_sec"])
+    best = variants[best_name]
+    print(json.dumps({
+        "metric": "ckpt_serving_images_per_sec_per_chip",
+        "value": best["imgs_per_sec"], "unit": "imgs/s",
+        "vs_baseline": round(best["imgs_per_sec"] / 5000.0, 3),
+        "spread": best["spread"],
+        "config": {"checkpoint": os.path.basename(args.checkpoint),
+                   "arch": cfg.encoder_arch, "batch": batch,
+                   "max_gen_length": gen, "beamk": beamk,
+                   "precision": args.precision, "mode": best_name,
+                   "images": bool(args.images)},
+        "variants": variants, "caption_len": len_stats}))
 
 
 def _finite(x):
@@ -365,7 +472,19 @@ def main(argv=None):
                         "native dim")
     p.add_argument("--input_size", default=224, type=int)
     p.add_argument("--vocab_size", default=4096, type=int)
-    p.add_argument("--max_gen_length", default=16, type=int)
+    p.add_argument("--max_gen_length", default=None, type=int,
+                   help="decode steps (default 16; with --checkpoint, the "
+                        "checkpoint's val_max_len)")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="serving bench off a TRAINED checkpoint (SAT-TPU or "
+                        "reference-Lightning format): greedy + beam-LN, each "
+                        "with/without early_exit, plus the decoded "
+                        "caption-length stats that make the early-exit win "
+                        "interpretable (random-weight runs can't show it)")
+    p.add_argument("--images", nargs="+", default=None, metavar="SPEC",
+                   help="with --checkpoint: image files/dirs/globs for "
+                        "in-distribution serving inputs (e.g. the soak's "
+                        "image dir)")
     p.add_argument("--precision", default=16, type=int, choices=[16, 32])
     p.add_argument("--batches", nargs="+", type=int, default=None)
     p.add_argument("--quick", action="store_true",
@@ -400,6 +519,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.encoder_dim is not None and args.encoder_dim <= 0:
         args.encoder_dim = None  # 0 = backbone-native annotation dim
+    if args.max_gen_length is None and not args.checkpoint:
+        args.max_gen_length = 16
 
     import os
     import jax
@@ -411,6 +532,9 @@ def main(argv=None):
             print(json.dumps({"error": "TPU backend unreachable",
                               "waited_s": args.relay_wait}))
             sys.exit(1)
+
+    if args.checkpoint:
+        return bench_checkpoint(args)
 
     if args.train:
         batches = args.batches or ([32] if args.quick else [64, 128, 256])
@@ -501,8 +625,10 @@ def main(argv=None):
     model.cfg = model.cfg.replace(fused_stem=False)
 
     # secondary metric: p50 single-image caption latency (the reference's
-    # serial per-image loop prints "Inference in ... ms" — visualize.ipynb)
-    if not args.quick:
+    # serial per-image loop prints "Inference in ... ms" — visualize.ipynb).
+    # Greedy-only: it's a greedy B=1 probe either way, and its ~8 min of
+    # b1-chain compiles would tax every --beamk run with a duplicate number
+    if not args.quick and args.beamk <= 1:
         try:
             # B=1 is far below the relay's measurement floor; a 400-caption
             # in-program chain makes the marginal time resolvable

@@ -70,6 +70,44 @@ def _gather_beams(x: jax.Array, parent: jax.Array, axis: int) -> jax.Array:
     return jnp.take_along_axis(x, idx, axis=axis)
 
 
+def topk_small(x: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k along the last axis for SMALL k: k fused (max, argmax)
+    variadic-reduce passes instead of ``lax.top_k``'s sort lowering.
+
+    Identical results to ``lax.top_k`` — descending values, ties broken by
+    ascending index (the reduce comparator prefers the lower index on equal
+    values; verified bit-for-bit incl. tie-heavy inputs by tools/ab_topk.py
+    and tests/test_beam_search.py).  Each pass's exclusion mask fuses into
+    the next reduce, so nothing full-width is ever materialized.
+
+    Measured on v5e at the beam-3 validation shape (768, 4096): 19.6 us/call
+    vs lax.top_k's 164 us (8.3x) — the sort was 54% of the whole beam decode
+    scan (xplane, EXPERIMENTS.md round 3).  A per-128-lane-window two-stage
+    top_k was also tried and lost 12x (per-window sorts don't vectorize).
+    ``lax.approx_max_k`` is not eligible: no exactness guarantee at any
+    recall_target."""
+    if k > 8:  # sort wins asymptotically; small-k is the decode regime
+        return jax.lax.top_k(x, k)
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+
+    def red(a, b):
+        av, ai = a
+        bv, bi = b
+        take_a = (av > bv) | ((av == bv) & (ai < bi))
+        return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
+
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        m, a = jax.lax.reduce(
+            (cur, iota), (neg, jnp.int32(2 ** 31 - 1)), red, (x.ndim - 1,))
+        vals.append(m)
+        idxs.append(a)
+        cur = jnp.where(iota == a[..., None], neg, cur)
+    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+
+
 RESCORE_METHODS = ("LN", "WR", "BAR")
 
 
@@ -148,12 +186,24 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
     # see init_lstm_state_beams)
     h0, c0 = init_lstm_state_beams(params, annotations, cfg, k)  # (layers, B, k, H)
 
-    tokens0 = jnp.full((b, k, S + 2), pad_i, jnp.int32).at[:, :, 0].set(start_i)
+    # Lineage is reconstructed from backpointers AFTER the loop (see the
+    # reverse scan below): the loop carries only the CURRENT token per slot
+    # plus per-step record buffers it appends to.  The previous design
+    # gathered the whole (B,k,S+2) token and (B,k,S+1,L) alpha histories by
+    # parent every step — O(S^2) HBM traffic that the per-op profile showed
+    # as real money at validation shapes.  Records are time-leading so the
+    # reverse scan consumes them directly.
+    cur_tok0 = jnp.full((b, k), start_i, jnp.int32)
     scores0 = jnp.zeros((b, k), jnp.float32)
     finished0 = jnp.zeros((b, k), bool)
     flen0 = jnp.zeros((b, k), jnp.int32)
     bar0 = jnp.zeros((b, k), jnp.float32)
-    alphas0 = jnp.zeros((b, k, S + 1, L), jnp.float32)
+    tok_rec0 = jnp.full((S + 1, b, k), pad_i, jnp.int32)
+    # unexecuted steps (early_exit) must keep the ancestor chain fixed when
+    # the reverse scan walks back through them: identity backpointers
+    sparent_rec0 = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, None],
+                                    (S + 1, b, k))
+    alpha_rec0 = jnp.zeros((S + 1, b, k, L), jnp.float32)
 
     # Special-token masks on the vocab axis
     always_mask = jnp.zeros((v,)).at[jnp.array([start_i, pad_i])].set(NEG_INF)
@@ -176,12 +226,12 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         fw = pack_fused_weights(params, cfg, dtype=annotations.dtype)
 
     def step_fn(carry, xs):
-        tokens, scores, finished, flen, bar, h, c, alphas = carry
+        (cur_tok, scores, finished, flen, bar, h, c,
+         tok_rec, sparent_rec, alpha_rec) = carry
         t, rngs = xs
         rng_noise, rng_gumbel = rngs[0], rngs[1]
 
-        prev_words = jax.lax.dynamic_index_in_dim(tokens, t, axis=2, keepdims=False)
-        prev_embed = embed_tokens(params, prev_words.reshape(b * k), cfg)  # (B*k, E)
+        prev_embed = embed_tokens(params, cur_tok.reshape(b * k), cfg)  # (B*k, E)
 
         if use_fused:
             tproj, h1, c1, zt, alpha = fused_decoder_step(
@@ -210,41 +260,89 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         alpha = alpha.reshape(b, k, L)
 
         cur_temp = temps[t % n_temps]
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32) / cur_temp, axis=-1)
-        logp = logp.reshape(b, k, v)
-        logp = logp + jnp.where(t == 0, step0_mask, always_mask)
+        scaled = logits.astype(jnp.float32) / cur_temp               # (B*k, V)
+        mask_vec = jnp.where(t == 0, step0_mask, always_mask)        # (V,)
 
-        seq_scores = scores[:, :, None] + logp                       # (B, k, V)
-
-        # ---- selection weights -------------------------------------------
         tf = jnp.maximum(t.astype(jnp.float32), 1.0)
         if sample_method == "beam":
-            sel = seq_scores
-        elif sample_method == "multinomial":
-            row = 20.0 * seq_scores / tf
-            sel = row - jax.scipy.special.logsumexp(row, axis=-1, keepdims=True)
-            sel = sel + jax.random.gumbel(rng_gumbel, sel.shape)
-        else:  # topk: restrict to per-row top sample_topk, then sample
-            kth = jax.lax.top_k(seq_scores, sample_topk)[0][..., -1:]
-            in_topk = seq_scores >= kth
-            sel = jnp.where(in_topk, seq_scores / tf, NEG_INF)
-            sel = sel + jax.random.gumbel(rng_gumbel, sel.shape) * (sel > NEG_INF / 2)
-        # plain top-k at step 0 regardless of method (model.py:338-345),
-        # selecting from SLOT 0's scores only — the reference takes
-        # top_scores[0].topk(k) there; slot logits at t=0 genuinely differ
-        # across slots (each gets its own init projection slice, see
-        # init_lstm_state_beams), so this mask is load-bearing parity, not
-        # a redundancy (pinned by tests/test_reference_oracle.py)
-        beam0_only = jnp.where(jnp.arange(k)[None, :, None] == 0, seq_scores, NEG_INF)
-        sel = jnp.where(t == 0, beam0_only, sel)
+            # ---- two-stage exact top-k -----------------------------------
+            # The flat top-k over (B, k·V) is provably equal to: per-slot
+            # top-k of the slot's OWN row (its global candidates differ from
+            # its row only by the slot-constant `scores` shift, so row rank ==
+            # global rank within the slot), then top-k over the k·k union —
+            # the global winners are a subset of the per-slot winners by
+            # definition.  Ordering matches too: lax.top_k breaks ties by
+            # ascending index, and both flat layouts are slot-major with
+            # vocab-ascending candidates inside a slot.  The payoff is that
+            # NOTHING of shape (B, k, V) is ever materialized: the previous
+            # design wrote a full fp32 log_softmax plus seq_scores/stay/step-0
+            # masks at that shape every step.  Like greedy, the chosen
+            # logprob is recovered as scaled[idx] - logsumexp(scaled): Z
+            # includes masked tokens, selection excludes them (reference
+            # parity, model.py:330-340).
+            masked = scaled + mask_vec
+            vals, idx = topk_small(masked, k)                        # (B*k, k)
+            lse = jax.scipy.special.logsumexp(scaled, axis=-1)       # (B*k,)
+            # selected tokens are never masked (mask is -1e9), so
+            # masked[idx] == scaled[idx]
+            cand_logp = (vals - lse[:, None]).reshape(b, k, k)
+            cand_seq = scores[:, :, None] + cand_logp                # (B, k, k)
+            cand_tok = idx.reshape(b, k, k).astype(jnp.int32)
 
-        # finished slots offer exactly one "stay" candidate at column PAD
-        stay = jnp.full((b, k, v), NEG_INF).at[:, :, pad_i].set(STAY_SCORE)
-        sel = jnp.where(finished[:, :, None], stay, sel)
+            # plain top-k at step 0 regardless of method (model.py:338-345),
+            # selecting from SLOT 0's scores only — the reference takes
+            # top_scores[0].topk(k) there; slot logits at t=0 genuinely
+            # differ across slots (each gets its own init projection slice,
+            # see init_lstm_state_beams), so this mask is load-bearing
+            # parity, not a redundancy (tests/test_reference_oracle.py)
+            beam0_only = jnp.where(jnp.arange(k)[None, :, None] == 0,
+                                   cand_seq, NEG_INF)
+            sel_c = jnp.where(t == 0, beam0_only, cand_seq)
 
-        _, flat_idx = jax.lax.top_k(sel.reshape(b, k * v), k)        # (B, k)
-        parent = flat_idx // v
-        token = (flat_idx % v).astype(jnp.int32)
+            # finished slots offer exactly one "stay" candidate (rank 0,
+            # token PAD) — same slot-major tie order as the previous
+            # stay-at-column-PAD encoding
+            stay_row = jnp.full((k,), NEG_INF).at[0].set(STAY_SCORE)
+            sel_c = jnp.where(finished[:, :, None], stay_row, sel_c)
+            cand_tok = jnp.where(finished[:, :, None], pad_i, cand_tok)
+
+            _, flat_idx = topk_small(sel_c.reshape(b, k * k), k)     # (B, k)
+            parent = flat_idx // k
+            token = jnp.take_along_axis(cand_tok.reshape(b, k * k),
+                                        flat_idx, axis=1)
+            cand_scores = jnp.take_along_axis(cand_seq.reshape(b, k * k),
+                                              flat_idx, axis=1)
+        else:
+            # sampling modes need Gumbel noise across the whole vocab row, so
+            # they keep the full-width selection arrays (exploratory tools,
+            # not the validation/serving hot path)
+            logp = (jax.nn.log_softmax(scaled, axis=-1).reshape(b, k, v)
+                    + mask_vec)
+            seq_scores = scores[:, :, None] + logp                   # (B, k, V)
+            if sample_method == "multinomial":
+                row = 20.0 * seq_scores / tf
+                sel = row - jax.scipy.special.logsumexp(row, axis=-1,
+                                                        keepdims=True)
+                sel = sel + jax.random.gumbel(rng_gumbel, sel.shape)
+            else:  # topk: restrict to per-row top sample_topk, then sample
+                kth = topk_small(seq_scores, sample_topk)[0][..., -1:]
+                in_topk = seq_scores >= kth
+                sel = jnp.where(in_topk, seq_scores / tf, NEG_INF)
+                sel = sel + (jax.random.gumbel(rng_gumbel, sel.shape)
+                             * (sel > NEG_INF / 2))
+            # plain top-k at step 0 (see the beam branch note)
+            beam0_only = jnp.where(jnp.arange(k)[None, :, None] == 0,
+                                   seq_scores, NEG_INF)
+            sel = jnp.where(t == 0, beam0_only, sel)
+            # finished slots offer exactly one "stay" candidate at column PAD
+            stay = jnp.full((b, k, v), NEG_INF).at[:, :, pad_i].set(STAY_SCORE)
+            sel = jnp.where(finished[:, :, None], stay, sel)
+
+            _, flat_idx = topk_small(sel.reshape(b, k * v), k)       # (B, k)
+            parent = flat_idx // v
+            token = (flat_idx % v).astype(jnp.int32)
+            cand_scores = jnp.take_along_axis(
+                seq_scores.reshape(b, k * v), flat_idx, axis=1)
         # Step 0: the reference selects the k tokens from SLOT 0's scores but
         # does NOT gather states/alphas by parent (model.py:342-347 has no
         # keep_seq_idxs) — every slot keeps its OWN h/c/alpha, which differ
@@ -255,8 +353,6 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
 
         p_finished = jnp.take_along_axis(finished, parent, axis=1)
         p_scores = jnp.take_along_axis(scores, parent, axis=1)
-        cand_scores = jnp.take_along_axis(
-            seq_scores.reshape(b, k * v), flat_idx, axis=1)
         new_scores = jnp.where(p_finished, p_scores, cand_scores)
         new_token = jnp.where(p_finished, pad_i, token)
         newly_finished = jnp.logical_and(~p_finished, new_token == end_i)
@@ -272,22 +368,24 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
         new_bar = jnp.take_along_axis(bar, parent, axis=1)
         new_bar = jnp.where(newly_finished, bar_mean[:, None], new_bar)
 
-        new_tokens = jnp.take_along_axis(tokens, parent[:, :, None], axis=1)
-        new_tokens = jax.lax.dynamic_update_index_in_dim(
-            new_tokens, new_token, t + 1, axis=2)
-
         new_h = _gather_beams(h_new, sparent, axis=2)
         new_c = _gather_beams(c_new, sparent, axis=2)
 
-        new_alphas = jnp.take_along_axis(alphas, sparent[:, :, None, None], axis=1)
-        step_alpha = jnp.take_along_axis(alpha, sparent[:, :, None], axis=1)
-        new_alphas = jax.lax.dynamic_update_index_in_dim(
-            new_alphas, step_alpha.astype(new_alphas.dtype), t, axis=2)
+        # append-only history records (no per-step history gathers): the
+        # token each slot just chose, its state backpointer, and the RAW
+        # computed alpha per slot — lineage is applied once, post-loop
+        tok_rec = jax.lax.dynamic_update_index_in_dim(
+            tok_rec, new_token, t, axis=0)
+        sparent_rec = jax.lax.dynamic_update_index_in_dim(
+            sparent_rec, sparent.astype(jnp.int32), t, axis=0)
+        alpha_rec = jax.lax.dynamic_update_index_in_dim(
+            alpha_rec, alpha.astype(jnp.float32), t, axis=0)
 
-        return (new_tokens, new_scores, new_finished, new_flen, new_bar,
-                new_h, new_c, new_alphas), None
+        return (new_token, new_scores, new_finished, new_flen, new_bar,
+                new_h, new_c, tok_rec, sparent_rec, alpha_rec), None
 
-    carry0 = (tokens0, scores0, finished0, flen0, bar0, h0, c0, alphas0)
+    carry0 = (cur_tok0, scores0, finished0, flen0, bar0, h0, c0,
+              tok_rec0, sparent_rec0, alpha_rec0)
     if early_exit:
         def cond(state):
             t, carry = state[0], state[1:]
@@ -299,11 +397,37 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
             return (t + 1,) + new_carry
 
         state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + carry0)
-        tokens, scores, finished, flen, bar, _, _, alphas = state[1:]
+        (_, scores, finished, flen, bar, _, _,
+         tok_rec, sparent_rec, alpha_rec) = state[1:]
     else:
         ts = jnp.arange(S + 1)
-        (tokens, scores, finished, flen, bar, _, _, alphas), _ = jax.lax.scan(
+        ((_, scores, finished, flen, bar, _, _,
+          tok_rec, sparent_rec, alpha_rec), _) = jax.lax.scan(
             step_fn, carry0, (ts, step_rngs))
+
+    # ---- lineage reconstruction (one reverse scan, O(S) tiny gathers) -----
+    # Walk the ancestor chain from the final slots back to step 0.  At step t
+    # the invariant is anc == A(t), the ancestor of each final slot under the
+    # parent relation; the token the final slot's history shows at position
+    # t+1 is the one A(t) chose, and its alpha row t is the raw alpha of
+    # sparent[t, A(t)] (the reference gathers states by sparent — identity at
+    # t=0, see the note above).  Unexecuted early-exit steps recorded PAD
+    # tokens and identity backpointers, so walking through them is a no-op.
+    anc0 = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None], (b, k))
+
+    def back_step(anc, xs):
+        tok_t, sp_t, alpha_t = xs                     # (B,k), (B,k), (B,k,L)
+        tok_row = jnp.take_along_axis(tok_t, anc, axis=1)
+        asp = jnp.take_along_axis(sp_t, anc, axis=1)  # == A(t-1) for t >= 1
+        alpha_row = _gather_beams(alpha_t, asp, axis=1)
+        return asp, (tok_row, alpha_row)
+
+    _, (tok_rows, alpha_rows) = jax.lax.scan(
+        back_step, anc0, (tok_rec, sparent_rec, alpha_rec), reverse=True)
+    tokens = jnp.concatenate(
+        [jnp.full((b, k, 1), start_i, jnp.int32),
+         jnp.moveaxis(tok_rows, 0, 2)], axis=2)       # (B, k, S+2)
+    alphas = jnp.moveaxis(alpha_rows, 0, 2)           # (B, k, S+1, L)
 
     # max_gen_length flush (model.py:441-446): incomplete beams keep score,
     # length = S, BAR term = final live mean

@@ -353,3 +353,22 @@ def test_normalize_rescore_method():
     assert normalize_rescore_method("bar") == "BAR"
     with pytest.raises(ValueError):
         normalize_rescore_method("WN")
+
+
+def test_topk_small_matches_lax_topk():
+    """topk_small (iterative variadic-reduce, the 8.3x beam-selection win —
+    tools/ab_topk.py) must match lax.top_k bit-for-bit, including the
+    ascending-index tie-break, and fall back to lax.top_k for large k."""
+    import jax
+    import jax.numpy as jnp
+    from sat_tpu.decode.beam import topk_small
+
+    rng = np.random.default_rng(7)
+    for shape, k in (((5, 64), 3), ((2, 3, 40), 4), ((9, 33), 1),
+                     ((4, 100), 8), ((3, 50), 12)):  # 12 -> sort fallback
+        x = rng.standard_normal(shape).astype(np.float32) * 4
+        for data in (x, np.round(x)):  # quantized -> many exact ties
+            v, i = jax.jit(lambda a: topk_small(a, k))(jnp.asarray(data))
+            vr, ir = jax.lax.top_k(jnp.asarray(data), k)
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(vr))
