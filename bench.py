@@ -407,14 +407,6 @@ def _guard_record_band(key: str, best: float, best_spread, remeasure):
     return best, best_spread, best < 0.85 * band_low
 
 
-def _stem_variant_enabled() -> bool:
-    """Whether to A/B the fused Pallas stem at the winning batch: TPU-class
-    backends only (on CPU the kernel runs in interpret mode — a numerics
-    rig, not a performance variant)."""
-    import jax
-    return jax.default_backend() != "cpu"
-
-
 def _await_backend(max_wait_s: float, probe_timeout_s: float = 240.0) -> bool:
     """Probe the TPU backend in a SUBPROCESS until it answers or the budget
     runs out.  A dead axon relay makes the first in-process jax.devices()
@@ -495,10 +487,6 @@ def main(argv=None):
                         "they tie (step) or trail (loop) the XLA scan path, "
                         "which fuses this workload extremely well — default "
                         "off (also avoids ~2min of Mosaic compiles)")
-    p.add_argument("--no_fused_stem", action="store_true",
-                   help="skip the fused-Pallas-stem A/B variant "
-                        "(kernels/stem.py; default-off opt-in elsewhere — "
-                        "the XLA stem won the hardware A/B 2.6x)")
     p.add_argument("--beamk", default=1, type=int,
                    help="beam width; >1 measures full beam-search captioning "
                         "(LN rescoring) instead of greedy — the reference's "
@@ -616,13 +604,6 @@ def main(argv=None):
     model, variables = build_model(args.arch, args.input_size,
                                    args.vocab_size, args.precision,
                                    args.encoder_dim)
-    # The batch sweep always runs the proven XLA stem; the fused Pallas stem
-    # (default-off opt-in — it lost the hardware A/B 2.6x, EXPERIMENTS.md)
-    # is still measured as an A/B VARIANT at the winning batch below so a
-    # future toolchain win would be caught — a slower kernel can never drag
-    # the headline down, and its relay compiles (~60-150s/shape) are bounded
-    # to one shape instead of taxing every sweep point.
-    model.cfg = model.cfg.replace(fused_stem=False)
 
     # secondary metric: p50 single-image caption latency (the reference's
     # serial per-image loop prints "Inference in ... ms" — visualize.ipynb).
@@ -688,40 +669,15 @@ def main(argv=None):
                 best, best_spread, best_ee = v, spread, True
         except Exception as e:
             print(f"# early_exit failed: {type(e).__name__}", file=sys.stderr)
-    # fused Pallas stem variant at the winning config (XLA decode path only:
-    # the Pallas decode kernels have their own stem-free programs).  Kept
-    # only if it beats the XLA stem — numerics are pinned equivalent by
-    # tests/test_stem_kernel.py, so this is purely a scheduling A/B.
-    best_stem = False
-    if (not args.no_fused_stem and args.fused == "off" and best_b
-            and not args.quick):
-        if _stem_variant_enabled():
-            try:
-                model.cfg = model.cfg.replace(fused_stem=True)
-                v, spread = measure(best_b, k_large, early_exit=best_ee)
-                print(f"# {args.arch} b={best_b} fused_stem: {v:.0f} imgs/s "
-                      f"(spread {spread:.0%})", file=sys.stderr)
-                if v > best:
-                    best, best_spread, best_stem = v, spread, True
-            except Exception as e:
-                print(f"# fused_stem failed: {type(e).__name__}",
-                      file=sys.stderr)
-            finally:
-                model.cfg = model.cfg.replace(fused_stem=False)
     metric = ("greedy_captioning_images_per_sec_per_chip"
               if args.beamk <= 1 else
               f"beam{args.beamk}_captioning_images_per_sec_per_chip")
     key = _record_key(metric, args)
     below_band = False
     if not args.quick and best_b:
-        def _remeasure():
-            model.cfg = model.cfg.replace(fused_stem=best_stem)
-            try:
-                return measure(best_b, 2 * k_large, early_exit=best_ee)
-            finally:
-                model.cfg = model.cfg.replace(fused_stem=False)
         best, best_spread, below_band = _guard_record_band(
-            key, best, best_spread, _remeasure)
+            key, best, best_spread,
+            lambda: measure(best_b, 2 * k_large, early_exit=best_ee))
     record = _load_record(key)
     if (not args.quick and best_b
             and (record is None or best > record["value"])):
@@ -737,8 +693,7 @@ def main(argv=None):
                    "input_size": args.input_size,
                    "max_gen_length": args.max_gen_length,
                    "precision": args.precision, "vocab": args.vocab_size,
-                   "fused_kernel": args.fused,
-                   "fused_stem": best_stem, "beamk": args.beamk,
+                   "fused_kernel": args.fused, "beamk": args.beamk,
                    "early_exit": best_ee},
     }
     if below_band:

@@ -50,10 +50,6 @@ class SATConfig:
     bucket_sampler: bool = False
     cache_images: bool = False   # RAM-cache decoded images (subset-scale data)
     native_decode: Optional[bool] = None  # C++ jpeg pipeline (None = auto-detect)
-    # fused Pallas stem kernel on the inference path (kernels/stem.py);
-    # validated opt-in — the real-chip A/B went to the XLA stem (2.6x at
-    # b512; EXPERIMENTS.md "fused stem verdict"), so None/False = off
-    fused_stem: Optional[bool] = None
     # whole-net channel-permutation folding for the shufflenet family's
     # inference path (models/shufflenet_folded.py): every channel shuffle
     # becomes a kernel-side row gather + a few contiguous-slice concats —
@@ -247,11 +243,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="force the C++ jpeg pipeline (default: auto-detect)")
     p.add_argument("--no_native_decode", dest="native_decode",
                    action="store_false")
-    p.add_argument("--fused_stem", default=None, action="store_true",
-                   help="opt into the fused Pallas stem kernel on the "
-                        "inference path (default off: the XLA stem measured "
-                        "2.6x faster on v5e — EXPERIMENTS.md)")
-    p.add_argument("--no_fused_stem", dest="fused_stem", action="store_false")
     p.add_argument("--folded_encoder", default=None, action="store_true",
                    help="whole-net shuffle-permutation folding on the "
                         "shufflenet inference path (exact). Default: auto "

@@ -100,7 +100,7 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, stem_out: Optional[jax.Array] = None):
         if stem_out is not None:
-            x = stem_out  # fused Pallas stem (kernels/stem.py)
+            x = stem_out  # alternative stem formulation (models/packed_stem.py)
         else:
             if self.fold_norm is not None:
                 x = FoldedStemConv(64, self.fold_norm[0], self.fold_norm[1],
@@ -239,8 +239,8 @@ class ShuffleNetV2(nn.Module):
     def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
         if stem_out is not None:
-            # stem already computed by the fused Pallas kernel
-            # (kernels/stem.py) — resume from the pooled feature map
+            # stem already computed by an alternative formulation
+            # (models/packed_stem.py) — resume from the pooled feature map
             x = stem_out
         else:
             if self.fold_norm is not None:
@@ -326,7 +326,7 @@ class MobileNetV2(nn.Module):
     def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
         if stem_out is not None:
-            x = stem_out  # fused Pallas stem (kernels/stem.py)
+            x = stem_out  # alternative stem formulation (models/packed_stem.py)
         else:
             if self.fold_norm is not None:
                 x = FoldedStemConv(32, self.fold_norm[0], self.fold_norm[1],
@@ -416,7 +416,7 @@ class MobileNetV3(nn.Module):
     def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
         if stem_out is not None:
-            x = stem_out  # fused Pallas stem (kernels/stem.py)
+            x = stem_out  # alternative stem formulation (models/packed_stem.py)
         else:
             if self.fold_norm is not None:
                 x = FoldedStemConv(16, self.fold_norm[0], self.fold_norm[1],
@@ -551,7 +551,7 @@ class DenseNet(nn.Module):
     def __call__(self, x, stem_out: Optional[jax.Array] = None):
         ra = not self.train
         if stem_out is not None:
-            x = stem_out  # fused Pallas stem (kernels/stem.py)
+            x = stem_out  # alternative stem formulation (models/packed_stem.py)
         else:
             if self.fold_norm is not None:
                 x = FoldedStemConv(self.init_features, self.fold_norm[0],
@@ -603,7 +603,7 @@ class MNASNet(nn.Module):
         depths = [_round8(d * self.alpha)
                   for d in (32, 16, 24, 40, 80, 96, 192, 320)]
         if stem_out is not None:
-            x = stem_out  # fused Pallas stem (kernels/stem.py)
+            x = stem_out  # alternative stem formulation (models/packed_stem.py)
         else:
             if self.fold_norm is not None:
                 x = FoldedStemConv(depths[0], self.fold_norm[0],

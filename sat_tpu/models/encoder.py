@@ -46,9 +46,9 @@ class SATEncoder(nn.Module):
         (or the 4-D feature map when flatten=False, the checked-out reference's
         contract for 2-D attention visualization, model.py:96-98).
 
-        stem_out: optional pre-computed stem output from the fused Pallas
-        stem kernel (kernels/stem.py) — the backbone resumes after its
-        stem+pool (shufflenet only; see SATModel._fused_stem_out)."""
+        stem_out: optional pre-computed stem output from an alternative stem
+        formulation (models/packed_stem.py) — the backbone resumes after its
+        stem+pool (see SATModel._stem_out)."""
         if self.arch not in BACKBONES:
             raise ValueError(f"Encoder not supported : {self.arch}")
         extra = {"stem_out": stem_out} if stem_out is not None else {}

@@ -111,12 +111,14 @@ class SATModel:
 
     def _stem_out(self, variables: Dict[str, Any],
                   images: jax.Array) -> Optional[jax.Array]:
-        """Inference-stem override: the fused Pallas kernel or the packed
-        XLA stem, both measured opt-ins (default: the plain XLA stem)."""
-        out = self._fused_stem_out(variables, images)
-        if out is None:
-            out = self._packed_stem_out(variables, images)
-        return out
+        """Inference-stem override: the packed XLA stem, a measured opt-in
+        (default: the plain XLA stem).  A fused Pallas stem kernel also
+        lived behind this hook through rounds 2-3; it lost three hardware
+        A/Bs (per-image grid 2.6x, batch-tiled grid 2.8x — VPU-bound on
+        patch/pool shuffling, not dot- or grid-overhead-bound) and was
+        retired per VERDICT r2 #7 (kernels/stem.py in git history;
+        EXPERIMENTS.md "stem kernel retired")."""
+        return self._packed_stem_out(variables, images)
 
     def _packed_stem_out(self, variables: Dict[str, Any],
                          images: jax.Array) -> Optional[jax.Array]:
@@ -129,8 +131,8 @@ class SATModel:
         packed tensor; EXPERIMENTS.md "round 3: packed stem verdict"), so
         the auto policy is OFF; --packed_stem opts in (numerics pinned by
         tests/test_packed_stem.py)."""
-        from ..kernels.stem import stem_plan
-        from .packed_stem import packed_stem_pool, packed_stem_supported
+        from .packed_stem import (packed_stem_pool, packed_stem_supported,
+                                  stem_plan)
         cfg = self.cfg
         if cfg.packed_stem is False or (cfg.packed_stem is None
                                         and not self._packed_stem_auto()):
@@ -154,45 +156,6 @@ class SATModel:
     def _packed_stem_auto(self) -> bool:
         # measured on v5e @b512: packed stem 1.97 vs XLA stem 1.25 ms/batch
         return False
-
-    def _fused_stem_out(self, variables: Dict[str, Any],
-                        images: jax.Array) -> Optional[jax.Array]:
-        """Run the fused Pallas stem kernel (kernels/stem.py) when enabled.
-
-        Returns the stem output the backbone should resume from, or None for
-        the unfused flax path.  Numerics are fp32-exact / bf16-rounding-
-        equivalent to the unfused path (tests/test_stem_kernel.py), so this
-        is purely a scheduling choice — and the real-chip A/B settled it
-        AGAINST the kernel: on v5e the fused stem decodes at 34.2k vs the XLA
-        stem's 89.2k imgs/s @b512 (±1-4%, tools/validate_stem_tpu.py;
-        EXPERIMENTS.md "fused stem verdict").  Auto policy
-        (cfg.fused_stem=None) is therefore OFF; --fused_stem opts in (all 8
-        stem families compile and validate on hardware)."""
-        from ..kernels.stem import (fused_stem_pool, fused_stem_pool_sharded,
-                                    stem_plan, stem_supported)
-        cfg = self.cfg
-        mesh = self.mesh
-        sharded = mesh is not None and int(mesh.devices.size) > 1
-        enabled = bool(cfg.fused_stem)
-        plan = stem_plan(cfg.encoder_arch)
-        b, h, w, c = images.shape
-        if not enabled or plan is None or h != w or c != 3:
-            return None
-        if sharded and b % int(mesh.devices.size):
-            return None  # per-shard batch must be whole
-        conv_name, bn_name, act, pool, kh = plan
-        bp = variables["params"]["encoder"]["backbone"]
-        bs = variables["state"]["batch_stats"]["backbone"]
-        kernel = bp[conv_name]["kernel"]
-        if not stem_supported(h, kernel.shape[-1], kh):
-            return None
-        args = (images, kernel, bp[bn_name]["scale"], bp[bn_name]["bias"],
-                bs[bn_name]["mean"], bs[bn_name]["var"], 1e-5, cfg.mean,
-                cfg.std)
-        if sharded:
-            return fused_stem_pool_sharded(*args, mesh=mesh, act=act,
-                                           pool=pool)
-        return fused_stem_pool(*args, act=act, pool=pool)
 
     # -- inference API (reference: SAT.caption at model.py:214-235) --------
 

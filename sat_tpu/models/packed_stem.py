@@ -47,6 +47,31 @@ import jax.numpy as jnp
 
 NEG_LARGE = -3.0e38  # -inf stand-in that survives bf16 casts
 
+# arch prefix -> (conv param, bn param, activation, maxpool, kernel size).
+# Stem shapes: conv kh x kh / stride 2 / pad (kh-1)//2, C_in=3.  (Moved here
+# from the retired fused Pallas stem kernel — kernels/stem.py in git history,
+# removed after losing its third hardware A/B; EXPERIMENTS.md "stem kernel
+# retired".)
+STEM_PLANS = {
+    "shufflenet": ("conv1", "bn1", "relu", True, 3),
+    "mobilenet_v2": ("stem", "stem_bn", "relu6", False, 3),
+    "mobilenet_v3": ("stem", "stem_bn", "hswish", False, 3),
+    "mnasnet": ("stem", "stem_bn", "relu", False, 3),
+    "resnet": ("conv1", "bn1", "relu", True, 7),
+    "resnext": ("conv1", "bn1", "relu", True, 7),
+    "wide_resnet": ("conv1", "bn1", "relu", True, 7),
+    "densenet": ("conv0", "norm0", "relu", True, 7),
+}
+
+
+def stem_plan(arch: str):
+    """(conv, bn, act, pool, kh) for archs whose stem the packed/foldable
+    re-expressions understand."""
+    for prefix, plan in STEM_PLANS.items():
+        if arch.startswith(prefix):
+            return plan
+    return None
+
 
 def pack_stem_kernel(kernel: jax.Array) -> jax.Array:
     """(3, 3, C_in, C_out) stride-2 kernel -> (5, 5, C_in, 4*C_out) stride-4

@@ -169,6 +169,18 @@ def main(argv=None):
         scheduler="plateau", plateau_monitor="bleu4",
         val_interval=1, val_percent=0.25, val_beamk=3, val_max_len=20,
         val_early_exit=True, clip_value=5.0, grad_clip="norm", seed=0)
+    if a.compositional:
+        # The grammar's captions name grid POSITIONS; the default hflip
+        # augmentation mirrors the image without relabeling, corrupting
+        # every left/right word 50% of the time.  Soak v1 (EXPERIMENTS.md)
+        # showed the model responding rationally: it converged onto the one
+        # position-free caption template and never learned positions.  The
+        # reference tolerates this on COCO (annotator noise); here position
+        # is a primary signal, so flips are off for this task.  The encoder
+        # trains FROM SCRATCH (no torchvision weights in this env) against
+        # a 1,024-way attribute-binding vocabulary — 1e-4 is a FINE-TUNE
+        # rate (reference readme.md:110-125); from-scratch gets 4e-4.
+        cfg = cfg.replace(aug_hflip=0.0, encoder_lr=4e-4)
 
     rows = []
     best_bleu4 = -1.0
@@ -191,7 +203,8 @@ def main(argv=None):
         print(f"epoch {epoch}: train {t_train:.1f}s ({rate:.0f} imgs/s) "
               f"val {t_val:.1f}s loss={means.get('loss', 0):.3f} "
               f"bleu4={val.get('bleu4', 0):.4f}", file=sys.stderr)
-        if a.save_best and val.get("bleu4", 0.0) > best_bleu4:
+        # >= : on a flat curve the LATEST weights are saved, not epoch 0's
+        if a.save_best and val.get("bleu4", 0.0) >= best_bleu4:
             best_bleu4 = val.get("bleu4", 0.0)
             from sat_tpu.train.checkpoints import save_checkpoint
             save_checkpoint(a.save_best, trainer.cfg,
