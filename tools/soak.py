@@ -112,6 +112,12 @@ def main(argv=None):
                         "random captions: same production model config, but "
                         "BLEU-4 must converge toward 1.0 — the at-scale "
                         "quality-evidence run")
+    p.add_argument("--nouns", default=None, type=int, metavar="N",
+                   help="with --compositional: restrict the lexicon to the "
+                        "first N of the 1,024 (color x shape x texture) "
+                        "nouns — the learnability ladder (v2 showed 1,024 "
+                        "nouns x 32 sightings each is too sparse for a "
+                        "from-scratch encoder in a soak-length run)")
     p.add_argument("--compositional", action="store_true",
                    help="use the compositional caption grammar "
                         "(sat_tpu/data/compositional.py): 2-object scenes, "
@@ -125,15 +131,20 @@ def main(argv=None):
 
     t0 = time.time()
     if a.compositional:
-        from sat_tpu.data.compositional import (make_compositional_dataset,
+        from sat_tpu.data.compositional import (N_NOUNS,
+                                                make_compositional_dataset,
                                                 prior_baseline_bleu)
-        json_path = os.path.join(a.out, "compositional.json")
+        nouns = a.nouns or N_NOUNS
+        name = ("compositional" if nouns == N_NOUNS
+                else f"compositional_{nouns}")
+        json_path = os.path.join(a.out, f"{name}.json")
         if not os.path.exists(json_path):
-            print(f"generating {a.n} compositional 224px scenes ...",
-                  file=sys.stderr)
+            print(f"generating {a.n} compositional 224px scenes "
+                  f"({nouns} nouns) ...", file=sys.stderr)
             json_path = make_compositional_dataset(
                 a.out, n_train=a.n, n_val=a.n_val,
-                n_test=max(a.n_val // 2, 8), image_size=224)
+                n_test=max(a.n_val // 2, 8), image_size=224,
+                n_nouns=nouns, json_name=name)
         floor = prior_baseline_bleu(json_path)
         print("no-image prior baseline: "
               + " ".join(f"{k}={v:.4f}" for k, v in floor.items()),
