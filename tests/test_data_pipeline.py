@@ -193,3 +193,54 @@ def test_val_preprocess():
     imgs = np.full((2, 4, 4, 3), 255, np.uint8)
     out = np.array(val_preprocess(jnp.asarray(imgs)))
     np.testing.assert_allclose(out, 1.0)
+
+
+def test_cache_images_val_identical_and_skips_decode(tmp_path):
+    """cache_images (config flag, used by the subset-scale soaks): val-mode
+    batches are identical to the uncached loader, and epochs 2+ never touch
+    the source files (proved by deleting them after epoch 1)."""
+    import shutil
+    from sat_tpu.data.preprocess import make_synthetic_dataset
+    path = make_synthetic_dataset(str(tmp_path), n_train=12, n_val=4,
+                                  n_test=4, image_size=40, max_cap_length=10)
+    ds2 = CaptionDataset(path, "train")
+    plain = list(CaptionLoader(ds2, 4, 32, shuffle=False, train=False))
+    cached_loader = CaptionLoader(ds2, 4, 32, shuffle=False, train=False,
+                                  cache_images=True)
+    cached = list(cached_loader)
+    for x, y in zip(plain, cached):
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(x["captions"], y["captions"])
+    shutil.rmtree(tmp_path / "imgs")  # epoch 2 must be served from RAM
+    cached2 = list(cached_loader)
+    for x, y in zip(cached, cached2):
+        np.testing.assert_array_equal(x["images"], y["images"])
+
+
+def test_cache_images_train_crops_deterministic_and_varying(tmp_path):
+    """Train-mode random crops through the cache stay a pure function of
+    (seed, epoch, batch index) — identical across fresh loaders — and
+    still vary across epochs (the cache stores PRE-crop arrays)."""
+    from PIL import Image
+    from sat_tpu.data.preprocess import make_synthetic_dataset
+    path = make_synthetic_dataset(str(tmp_path), n_train=8, n_val=4,
+                                  n_test=4, image_size=40, max_cap_length=10)
+    ds2 = CaptionDataset(path, "train")
+    # rectangular sources so the random crop has a live offset range
+    # (square 40px images resize to exactly 32x32 — zero crop freedom)
+    r = np.random.default_rng(0)
+    for p in ds2.img_paths:
+        Image.fromarray(r.integers(0, 256, (40, 64, 3), dtype=np.uint8)
+                        ).save(p)
+    mk = lambda: CaptionLoader(ds2, 8, 32, shuffle=False, train=True,
+                               seed=3, cache_images=True)
+    la, lb = mk(), mk()
+    la.set_epoch(0)
+    lb.set_epoch(0)
+    e0a, e0b = list(la), list(lb)
+    for x, y in zip(e0a, e0b):
+        np.testing.assert_array_equal(x["images"], y["images"])
+    la.set_epoch(1)
+    e1 = list(la)
+    assert any(not np.array_equal(x["images"], y["images"])
+               for x, y in zip(e0a, e1))

@@ -180,6 +180,13 @@ def main(argv=None):
         scheduler="plateau", plateau_monitor="bleu4",
         val_interval=1, val_percent=0.25, val_beamk=3, val_max_len=20,
         val_early_exit=True, clip_value=5.0, grad_clip="norm", seed=0)
+    if a.compositional or a.learnable:
+        # The synthetic 224px tasks are subset-scale (16k x 147 KB decoded
+        # ~= 2.4 GB in a 125 GB host) and the 1-core container is
+        # decode-bound (soak v2 measured the chip ~90% idle at 178 imgs/s):
+        # cache_images keeps the decoded pre-crop arrays in RAM so epochs 2+
+        # skip the PNG decode entirely (crop randomness stays per-epoch).
+        cfg = cfg.replace(cache_images=True)
     if a.compositional:
         # The grammar's captions name grid POSITIONS; the default hflip
         # augmentation mirrors the image without relabeling, corrupting
