@@ -127,6 +127,15 @@ def main(argv=None):
     p.add_argument("--save_best", default=None, metavar="PATH",
                    help="save a full checkpoint of the best-bleu4 epoch "
                         "(feeds bench.py --checkpoint serving measurements)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="continue a finished soak from a saved checkpoint: "
+                        "optimizer/scheduler/epoch counters restore from the "
+                        "file and --epochs MORE epochs run on top (the curve "
+                        "extends; epoch numbers print absolute)")
+    p.add_argument("--best_floor", default=-1.0, type=float,
+                   help="with --resume + --save_best: only save checkpoints "
+                        "that beat this bleu4 (the prior run's best), so a "
+                        "worse continuation never clobbers a better file")
     a = p.parse_args(argv)
 
     t0 = time.time()
@@ -201,12 +210,15 @@ def main(argv=None):
         cfg = cfg.replace(aug_hflip=0.0, encoder_lr=4e-4)
 
     rows = []
-    best_bleu4 = -1.0
+    best_bleu4 = a.best_floor
+    if a.resume:
+        cfg = cfg.replace(resume=a.resume)
     trainer = Trainer(cfg, log_root=os.path.join(a.out, "logs"))
+    start_epoch = trainer.current_epoch if a.resume else 0
     spe = len(trainer.train_loader)
-    print(f"steps/epoch={spe} val_batches={len(trainer.val_loader)}",
-          file=sys.stderr)
-    for epoch in range(a.epochs):
+    print(f"steps/epoch={spe} val_batches={len(trainer.val_loader)} "
+          f"start_epoch={start_epoch}", file=sys.stderr)
+    for epoch in range(start_epoch, start_epoch + a.epochs):
         trainer.current_epoch = epoch
         te0 = time.time()
         means = trainer.train_epoch()
@@ -229,7 +241,7 @@ def main(argv=None):
                             trainer._checkpoint_tree())
             print(f"  saved best checkpoint (bleu4={best_bleu4:.4f}) "
                   f"-> {a.save_best}", file=sys.stderr)
-        if epoch + 1 == a.resume_at and epoch + 1 < a.epochs:
+        if epoch + 1 == a.resume_at and epoch + 1 < start_epoch + a.epochs:
             # mid-soak operational resume: full checkpoint -> fresh Trainer
             from sat_tpu.train.checkpoints import save_checkpoint
             ck = os.path.join(a.out, "mid_soak.ckpt")
