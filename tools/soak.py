@@ -215,6 +215,15 @@ def main(argv=None):
         cfg = cfg.replace(resume=a.resume)
     trainer = Trainer(cfg, log_root=os.path.join(a.out, "logs"))
     start_epoch = trainer.current_epoch if a.resume else 0
+    if a.resume:
+        # Epoch-indexed schedules (teacher-forcing epsilon decays toward
+        # decoder_tf_min AT cfg.epochs) must span the FULL horizon, or the
+        # continuation decays PAST the floor: the v3b run left epochs=32
+        # while training epochs 24..55, driving inv_sigmoid epsilon from
+        # 0.89 down to 0.15 — scheduled sampling the config never asked for
+        # (loss rose 2.50 -> 2.70; EXPERIMENTS.md "soak v3").  epsilon is a
+        # runtime scalar input, so updating cfg never recompiles.
+        trainer.cfg = trainer.cfg.replace(epochs=start_epoch + a.epochs)
     spe = len(trainer.train_loader)
     print(f"steps/epoch={spe} val_batches={len(trainer.val_loader)} "
           f"start_epoch={start_epoch}", file=sys.stderr)
