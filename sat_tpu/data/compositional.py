@@ -223,16 +223,26 @@ def make_compositional_dataset(out_dir: str, n_train: int = 4096,
                                n_val: int = 512, n_test: int = 256,
                                image_size: int = 224, seed: int = 0,
                                n_nouns: int = N_NOUNS,
-                               json_name: str = "compositional") -> str:
+                               json_name: Optional[str] = None) -> str:
     """Write images + reference-schema JSON; returns the JSON path.
 
     n_nouns < 1024 restricts the lexicon (tiny test sets); the full lexicon
     yields a ~1,070-word vocabulary."""
     from PIL import Image
 
+    if json_name is None:
+        # rung-keyed default (same convention as tools/soak.py) so two rungs
+        # sharing one out_dir never overwrite each other's JSON or images
+        json_name = ("compositional" if n_nouns == N_NOUNS
+                     else f"compositional_{n_nouns}")
+
     rng = random.Random(seed)
     nprng = np.random.default_rng(seed)
-    img_dir = os.path.join(out_dir, "imgs")
+    # images live in a PER-DATASET directory: scene content depends on the
+    # lexicon restriction and the rng stream, so sharing one imgs/ across
+    # ladder rungs would silently pair a new rung's captions with a stale
+    # rung's pixels (the exists-check below skips re-rendering)
+    img_dir = os.path.join(out_dir, f"imgs_{json_name}")
     os.makedirs(img_dir, exist_ok=True)
 
     words = ([noun_word(i) for i in range(n_nouns)]
@@ -296,7 +306,16 @@ def prior_baseline_bleu(json_path: str, split: str = "val") -> Dict[str, float]:
                           data[split]["lengths"]):
         image_refs = []
         for c, ln in zip(caps, lens):
-            toks = [itos[t] for t in c[:max(ln - 1, 0)]]
+            # words only: c = [<START>, w1..wn, <END>, pads], length = n+1,
+            # so c[1:ln] = w1..wn — the SAME slice the validation metrics
+            # use (evalx/metrics.py::score_captions).  The earlier
+            # c[:ln-1] slice kept <START> in every ref AND the modal hyp
+            # (a free matching unigram+bigram per caption) and dropped the
+            # final word — it INFLATED the printed floors: the corrected
+            # 64-noun floor is bleu4 0.0343 vs the 0.0803 the v4 soak was
+            # (wrongly) judged against, so v4's best 0.0426 had in fact
+            # already crossed the true no-image prior.
+            toks = [itos[t] for t in c[1:max(ln, 1)]]
             image_refs.append(toks)
             counts.update([tuple(toks)])
         refs_tok.append(image_refs)

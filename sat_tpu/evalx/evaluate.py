@@ -24,7 +24,7 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
              max_gen_length: int = 32, temperature: float = 1.0,
              rescore_method: Optional[str] = "LN", rescore_reward: float = 0.5,
              limit_batches: Optional[int] = None, verbose: bool = True,
-             early_exit: bool = True):
+             early_exit: bool = True, return_captions: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -94,10 +94,15 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
     if verbose:
         print(f" in {time.time() - t0:.1f}s", file=sys.stderr)
     if not all_caps:
-        return {}
-    return score_captions(all_caps, np.concatenate(all_enc),
-                          np.concatenate(all_lens), embedding=embedding,
-                          perplexities=all_ppl)
+        return ({}, []) if return_captions else {}
+    metrics = score_captions(all_caps, np.concatenate(all_enc),
+                             np.concatenate(all_lens), embedding=embedding,
+                             perplexities=all_ppl)
+    if return_captions:
+        # best-beam token-id lists, split-ordered — analysis tools
+        # (tools/binding_report.py) parse these back into words
+        return metrics, all_caps
+    return metrics
 
 
 def main(argv=None):
