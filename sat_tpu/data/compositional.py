@@ -265,8 +265,12 @@ def make_compositional_dataset(out_dir: str, n_train: int = 4096,
                              "noun": noun_word(ni)})
             arr = render_scene(image_size, objs, nprng)
             path = os.path.join(img_dir, f"{tag}_{i}.png")
-            if not os.path.exists(path):
-                Image.fromarray(arr).save(path)
+            # ALWAYS write: scene content depends on seed and on the rng
+            # stream position (n_train shifts the val/test draws), so reusing
+            # a same-named file from an earlier run with different params
+            # would silently pair these captions with stale pixels.  Callers
+            # that want reuse gate on the dataset JSON (tools/soak.py).
+            Image.fromarray(arr).save(path)
             img_paths.append(path)
             ic, il = [], []
             for _ in range(5):

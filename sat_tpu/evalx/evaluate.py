@@ -42,10 +42,6 @@ def evaluate(model, variables, ds, batch_size: int = 64, beamk: int = 5,
     mesh = create_mesh((-1,), ("data",))
     n_dev = int(mesh.devices.size)
     variables = replicate_tree(variables, mesh)
-    # register the mesh so the fused Pallas stem routes through its
-    # batch-axis shard_map under a multi-device program (pallas_call has no
-    # GSPMD partitioning rules) — same as serve.py and the trainer
-    model.mesh = mesh
 
     @jax.jit
     def decode(variables, images_u8):

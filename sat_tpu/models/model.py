@@ -26,10 +26,6 @@ class SATModel:
         self.cfg = cfg
         self.grid_hw = grid_hw
         self.vocab = Vocab(cfg.vocab_stoi)
-        # optional jax.sharding.Mesh: set by mesh-aware callers (serve,
-        # trainer) so the fused Pallas stem can run under a sharded program
-        # via shard_map (pallas_call has no GSPMD partitioning rules)
-        self.mesh = None
         self.encoder_train = SATEncoder(
             arch=cfg.encoder_arch, mean=cfg.mean, std=cfg.std,
             encoder_dim=cfg.encoder_dim, encoder_size=cfg.encoder_size, train=True)

@@ -154,7 +154,6 @@ def main(argv=None):
     # --mesh_axes data model the vocab projection/embedding additionally
     # shard over the model axis (place_tree's vocab-dim TP rules).
     mesh = create_mesh(tuple(a.mesh_shape), tuple(a.mesh_axes))
-    model.mesh = mesh  # mesh-aware fused-stem routing
     n_dev = int(mesh.devices.size)
     if a.batch % n_dev:
         a.batch += n_dev - a.batch % n_dev

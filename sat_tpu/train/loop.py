@@ -118,7 +118,6 @@ class Trainer:
         # -- model + optimizer -------------------------------------------
         self.rng, r_init = jax.random.split(self.rng)
         self.model, self.variables = SATModel.create(cfg, r_init)
-        self.model.mesh = self.mesh  # mesh-aware fused-stem routing
         self.cfg = cfg = self.model.cfg  # encoder_dim written back
         self.tx, self.labels = build_optimizer(cfg, self.variables["params"])
         if cfg.accumulate > 1:

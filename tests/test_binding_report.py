@@ -49,6 +49,11 @@ def test_parse_relational_template_no_position_claims():
     cap = f"a tiny {N1} above a large {N0}".split()
     a, b = br.parse_caption(cap)
     assert a["cell"] is None and b["cell"] is None
+    # BOTH stated sizes must parse in the relational form: the second
+    # object's segment starts at its noun, and the size adjective sits one
+    # word before it across the segment boundary (regression: ni > s guard
+    # dropped it, deflating every published size row)
+    assert (a["size"], b["size"]) == (0, 1)
 
 
 def test_scene_truth_majority_vote():

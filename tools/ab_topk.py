@@ -29,28 +29,10 @@ def topk_sort(x):
 
 
 def topk_iterative(x):
-    """k fused (max, argmax-with-tie) variadic-reduce passes; each pass's
-    exclusion mask fuses into the next reduce, so nothing full-width is
-    materialized."""
-    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    neg = jnp.asarray(-jnp.inf, x.dtype)
-
-    def red(a, b):
-        av, ai = a
-        bv, bi = b
-        take_a = (av > bv) | ((av == bv) & (ai < bi))
-        return (jnp.where(take_a, av, bv), jnp.where(take_a, ai, bi))
-
-    vals, idxs = [], []
-    cur = x
-    for _ in range(k):
-        m, a = jax.lax.reduce(
-            (cur, iota), (neg, jnp.int32(np.iinfo(np.int32).max)),
-            red, (x.ndim - 1,))
-        vals.append(m)
-        idxs.append(a)
-        cur = jnp.where(iota == a[..., None], neg, cur)
-    return jnp.stack(vals, -1), jnp.stack(idxs, -1)
+    """THE SHIPPED implementation (sat_tpu/decode/beam.py::topk_small),
+    imported so this A/B always measures exactly what beam_search runs."""
+    from sat_tpu.decode.beam import topk_small
+    return topk_small(x, k)
 
 
 def topk_windowed(x):

@@ -112,7 +112,11 @@ def parse_caption(words: Sequence[str]) -> List[Dict]:
     for (s, e), ni in zip(segments, noun_pos):
         noun = words[ni]
         color, shape, texture = NOUN_ATTRS[noun]
-        size = _SIZE_OF_WORD.get(words[ni - 1]) if ni > s else None
+        # a size adjective immediately precedes its noun in every template,
+        # including ACROSS the relational split point (segment 2 starts AT
+        # its noun, so guarding on ni > s dropped that object's stated size);
+        # non-size predecessors (a/the/relation words) just miss the lookup
+        size = _SIZE_OF_WORD.get(words[ni - 1]) if ni > 0 else None
         cell = None if relational else _find_cell(words[s:e])
         objs.append({"noun": noun, "color": color, "shape": shape,
                      "texture": texture, "size": size, "cell": cell})

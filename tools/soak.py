@@ -235,7 +235,9 @@ def main(argv=None):
         tv0 = time.time()
         val = trainer.validate()
         t_val = time.time() - tv0
-        rate = a.n / t_train
+        # actual images trained, not a.n: a pre-existing dataset JSON (the
+        # exists-check above) may have been generated with a different --n
+        rate = len(trainer.train_loader) * trainer.cfg.batch / t_train
         rows.append((epoch, t_train, t_val, rate,
                      means.get("loss", float("nan")),
                      val.get("bleu4", float("nan"))))
@@ -260,7 +262,10 @@ def main(argv=None):
                   f"in {time.time()-cs0:.1f}s; rebuilding Trainer",
                   file=sys.stderr)
             rs0 = time.time()
-            trainer = Trainer(cfg.replace(resume=ck),
+            # rebuild from trainer.cfg, not cfg: under --resume the live cfg
+            # carries the re-spanned schedule horizon (epochs=start+N) — the
+            # original cfg would reintroduce the v3b TF-epsilon-past-floor bug
+            trainer = Trainer(trainer.cfg.replace(resume=ck),
                               log_root=os.path.join(a.out, "logs"))
             print(f"  resume ready in {time.time()-rs0:.1f}s "
                   f"(step={trainer.global_step})", file=sys.stderr)
