@@ -121,3 +121,26 @@ def test_report_perfect_captioner_vs_prior(tiny_dataset):
     # the no-image prior cannot match a perfect captioner on nouns
     assert rep["rows"]["prior"]["noun"] < 0.5
     assert rep["rows"]["uniform"]["cell"] == pytest.approx(1 / 9, abs=0.05)
+    # the report accounts for every image: scored + excluded = decoded
+    assert rep["n_images"] + rep["excluded_duplicate_noun"] == len(refs)
+
+
+def test_duplicate_noun_scenes_detected_and_excluded():
+    # same noun twice in one reference -> ambiguous noun-keyed truth
+    dup = [f"a big {N0} in the top left and a tiny {N0} in the bottom right".split()]
+    ok = [f"a big {N0} in the top left and a tiny {N1} in the bottom right".split()]
+    assert br.has_duplicate_noun(dup)
+    assert not br.has_duplicate_noun(ok)
+
+
+def test_pair_score_uses_size_to_break_ties():
+    # two truth objects identical on every field but size (the same-noun
+    # case): assignment must pair by size, not emission order
+    base = {"noun": N0, "color": 0, "shape": 0, "texture": 0, "cell": None}
+    truth = [[{**base, "size": 1, "cell": 0}, {**base, "size": 0, "cell": 8}]]
+    # generated captions state size but no position: ONLY size can pair them
+    small = {**base, "size": 0}
+    big = {**base, "size": 1}
+    for gens in ([small, big], [big, small]):
+        res = br.score_split([gens], truth)
+        assert res["size"] == 1.0

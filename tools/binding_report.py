@@ -153,10 +153,27 @@ def scene_truth(ref_caps: Sequence[Sequence[str]]) -> List[Dict]:
 _FIELDS = ("noun", "color", "shape", "texture", "size", "cell")
 
 
+def has_duplicate_noun(ref_caps: Sequence[Sequence[str]]) -> bool:
+    """True when the scene's two objects drew the SAME noun (make_split
+    samples noun indices independently, ~1/n_nouns of images): scene_truth
+    keys votes by noun, so such scenes collapse into one truth object with
+    size/cell votes mixed across both — corrupting the denominators.  Any
+    single reference mentioning a noun twice is proof (every reference
+    describes both objects)."""
+    for cap in ref_caps:
+        nouns = [o["noun"] for o in parse_caption(cap)]
+        if len(nouns) != len(set(nouns)):
+            return True
+    return False
+
+
 def _pair_score(g: Dict, t: Dict) -> int:
+    # every scored field participates so ties (e.g. same-noun scenes) are
+    # broken by whatever attribute CAN disambiguate, not by emission order
     s = 3 * (g["noun"] == t["noun"])
     s += sum(g[f] == t[f] for f in ("color", "shape", "texture"))
     s += (g["cell"] is not None and g["cell"] == t["cell"])
+    s += (g["size"] is not None and g["size"] == t["size"])
     return s
 
 
@@ -183,7 +200,6 @@ def score_split(gen_objs_per_img: Sequence[List[Dict]],
             pairs = [(gens[0], t)]
         else:
             pairs = []
-        assigned = {id(t) for _, t in pairs}
         for t in truth:
             got = next((g for g, tt in pairs if id(tt) == id(t)), None)
             for f in _FIELDS:
@@ -253,6 +269,13 @@ def report(gen_word_caps: Sequence[List[str]], json_path: str,
     scorer without a model."""
     data = json.load(open(json_path))
     refs = decode_refs(data, split)[:len(gen_word_caps)]
+    # same-noun scenes make the noun-keyed truth recovery ambiguous —
+    # exclude them from scoring (for the model AND every baseline) and
+    # report how many were dropped
+    keep = [i for i, r in enumerate(refs) if not has_duplicate_noun(r)]
+    n_dup = len(refs) - len(keep)
+    gen_word_caps = [gen_word_caps[i] for i in keep]
+    refs = [refs[i] for i in keep]
     truth = [scene_truth(r) for r in refs]
     gens = [parse_caption(c) for c in gen_word_caps]
 
@@ -264,16 +287,18 @@ def report(gen_word_caps: Sequence[List[str]], json_path: str,
     rows = {"model": score_split(gens, truth),
             "prior": score_split(prior, truth),
             "uniform": chance["uniform"], "modal": chance["modal"]}
-    return {"n_images": len(truth), "rows": rows,
-            "support": chance["support"],
+    return {"n_images": len(truth), "excluded_duplicate_noun": n_dup,
+            "rows": rows, "support": chance["support"],
             "modal_caption": " ".join(modal_cap)}
 
 
 def print_report(rep: Dict) -> None:
     cols = (*_FIELDS, "row", "col", "assigned", "emitted")
     sup = rep["support"]
-    print(f"n_images={rep['n_images']}  support: "
-          + " ".join(f"{f}={sup[f]}" for f in _FIELDS))
+    print(f"n_images={rep['n_images']}"
+          + (f" (+{rep['excluded_duplicate_noun']} same-noun scenes excluded)"
+             if rep.get("excluded_duplicate_noun") else "")
+          + "  support: " + " ".join(f"{f}={sup[f]}" for f in _FIELDS))
     print(f"modal caption: {rep['modal_caption']}\n")
     print("| predictor | " + " | ".join(cols) + " |")
     print("|---" * (len(cols) + 1) + "|")
