@@ -327,6 +327,26 @@ def _finite(x):
     return round(x, 3) if x is not None and math.isfinite(x) else None
 
 
+# Records are the driver's scoreboard; a record stored from a noisy relay
+# window poisons the band guard for every later round (VERDICT r3 #1: a
+# 45%-spread 171.7k spike displaced the honest 132.5k ±5% record and moved
+# the low-side guard edge from ~112k to ~80k).  Calm-window spreads are
+# 2-6% (CLAUDE.md); 15% is comfortably above calm weather and far below
+# spike noise.
+RECORD_SPREAD_CEILING = 0.15
+
+
+def _headline_score(v: float, spread) -> float:
+    """Confidence-weighted comparison key: the lower confidence bound
+    v*(1-spread).  Headlines, records, and remeasure-keeps all rank by this
+    instead of raw value, so a noisy spike can't out-rank a clean run it
+    doesn't provably beat (VERDICT r3 #1b: under this rule BENCH_r03's
+    honest headline is 121.7k @19%, not 171.7k @45%)."""
+    import math
+    s = spread if spread is not None and math.isfinite(spread) else 1.0
+    return v * (1.0 - min(max(s, 0.0), 1.0))
+
+
 def _record_key(metric: str, args) -> str:
     """Stable per-config key for the record band (batch excluded — the sweep
     picks the winning batch; the record is the config's best-known rate)."""
@@ -353,8 +373,20 @@ def _load_record(key: str):
 
 def _store_record(key: str, value: float, spread) -> None:
     """Persist a new per-config record (best value + its spread). Best-effort:
-    a read-only checkout must never fail the bench."""
+    a read-only checkout must never fail the bench.
+
+    Spread-gated (VERDICT r3 #1a): a run with spread above
+    RECORD_SPREAD_CEILING — or with no finite spread at all — can never
+    become the record, no matter how high the value; it still prints as the
+    session's headline, it just doesn't rewrite the scoreboard."""
     import math
+    if (spread is None or not math.isfinite(spread)
+            or spread > RECORD_SPREAD_CEILING):
+        print(f"# not storing record ({value:.0f}): spread "
+              f"{spread if spread is not None and math.isfinite(spread) else -1:.0%} "
+              f"exceeds the {RECORD_SPREAD_CEILING:.0%} record ceiling",
+              file=sys.stderr)
+        return
     try:
         try:
             with open(_records_path()) as f:
@@ -381,6 +413,12 @@ def _guard_record_band(key: str, best: float, best_spread, remeasure):
     reproduces, emit it flagged `below_record_band` so the regression is
     visible instead of silently blamed on weather.
 
+    The high side mirrors it (VERDICT r3 #1c): a run landing >15% ABOVE the
+    band low with spread above RECORD_SPREAD_CEILING is a likely relay
+    spike, not capability — it gets one doubled-chain remeasure and the
+    confidence-weighted winner (`_headline_score`) is kept, so a clean
+    remeasure displaces the spike before it can print or store.
+
     Returns (best, best_spread, below_band_flag)."""
     import math
     record = _load_record(key)
@@ -388,9 +426,15 @@ def _guard_record_band(key: str, best: float, best_spread, remeasure):
         return best, best_spread, False
     rec_spread = record.get("spread") or 0.0
     band_low = record["value"] * (1.0 - min(rec_spread, 0.5))
-    if best >= 0.85 * band_low:
+    suspect_low = best < 0.85 * band_low
+    suspect_high = (best > 1.15 * band_low
+                    and (best_spread is None
+                         or not math.isfinite(best_spread)
+                         or best_spread > RECORD_SPREAD_CEILING))
+    if not (suspect_low or suspect_high):
         return best, best_spread, False
-    print(f"# {best:.0f} imgs/s is >15% below the record band low "
+    side = "below" if suspect_low else "above (at high spread)"
+    print(f"# {best:.0f} imgs/s is >15% {side} the record band low "
           f"{band_low:.0f} (record {record['value']:.0f} "
           f"±{rec_spread:.0%}); remeasuring with a doubled chain",
           file=sys.stderr)
@@ -399,7 +443,7 @@ def _guard_record_band(key: str, best: float, best_spread, remeasure):
         print(f"# record-band remeasure: {v2:.0f} imgs/s "
               f"(spread {spread2 if math.isfinite(spread2) else -1:.0%})",
               file=sys.stderr)
-        if v2 > best:
+        if _headline_score(v2, spread2) > _headline_score(best, best_spread):
             best, best_spread = v2, spread2
     except Exception as e:
         print(f"# record-band remeasure failed: {type(e).__name__}",
@@ -542,7 +586,7 @@ def main(argv=None):
                 continue
             print(f"# train {args.arch} b={b}: {v:.0f} imgs/s "
                   f"(spread {spread:.0%})", file=sys.stderr)
-            if v > best:
+            if _headline_score(v, spread) > _headline_score(best, best_spread):
                 best, best_b, best_spread = v, b, spread
         # microbatch variant at the winning large batch: in-step gradient
         # chunking recovers small-batch cache residency while the optimizer
@@ -559,7 +603,7 @@ def main(argv=None):
                     encoder_dim=args.encoder_dim, microbatch=64)
                 print(f"# train {args.arch} b={best_b} microbatch=64: "
                       f"{v:.0f} imgs/s (spread {spread:.0%})", file=sys.stderr)
-                if v > best:
+                if _headline_score(v, spread) > _headline_score(best, best_spread):
                     best, best_spread, best_mb = v, spread, 64
             except Exception as e:
                 print(f"# microbatch variant failed: {type(e).__name__}",
@@ -577,7 +621,9 @@ def main(argv=None):
                     encoder_dim=args.encoder_dim, microbatch=best_mb))
         record = _load_record(key)
         if (not args.quick and best_b
-                and (record is None or best > record["value"])):
+                and (record is None
+                     or _headline_score(best, best_spread)
+                     > _headline_score(record["value"], record.get("spread")))):
             _store_record(key, best, best_spread)
         # vs_baseline: the reference's implied end-to-end training rate
         # (~80 imgs/s: 32k imgs x 90 epochs ~ 2h, dev/presentation.txt:122-128)
@@ -652,7 +698,7 @@ def main(argv=None):
             continue
         print(f"# {args.arch} b={b}: {v:.0f} imgs/s (spread {spread:.0%})",
               file=sys.stderr)
-        if v > best:
+        if _headline_score(v, spread) > _headline_score(best, best_spread):
             best, best_b, best_spread = v, b, spread
     # greedy early-exit variant at the winning batch: real checkpoints emit
     # <END> well before max_gen_length (reference loop break, model.py:441),
@@ -665,7 +711,7 @@ def main(argv=None):
             v, spread = measure(best_b, k_large, early_exit=True)
             print(f"# {args.arch} b={best_b} early_exit: {v:.0f} imgs/s "
                   f"(spread {spread:.0%})", file=sys.stderr)
-            if v > best:
+            if _headline_score(v, spread) > _headline_score(best, best_spread):
                 best, best_spread, best_ee = v, spread, True
         except Exception as e:
             print(f"# early_exit failed: {type(e).__name__}", file=sys.stderr)
@@ -680,7 +726,9 @@ def main(argv=None):
             lambda: measure(best_b, 2 * k_large, early_exit=best_ee))
     record = _load_record(key)
     if (not args.quick and best_b
-            and (record is None or best > record["value"])):
+            and (record is None
+                 or _headline_score(best, best_spread)
+                 > _headline_score(record["value"], record.get("spread")))):
         _store_record(key, best, best_spread)
     result = {
         "metric": metric,

@@ -115,6 +115,75 @@ def test_new_record_is_persisted(monkeypatch, tmp_path, capsys):
     assert entry == {"value": 1234.0, "spread": 0.05}
 
 
+def test_record_store_refuses_high_spread(monkeypatch, tmp_path):
+    """VERDICT r3 #1a: a noisy run (spread > 15%) must never become the
+    record, no matter how high the value — BENCH_r03's 45%-spread 171.7k
+    spike displaced the honest 132.5k ±5% record through this hole."""
+    records = tmp_path / "records.json"
+    records.write_text(json.dumps({"k": {"value": 2000.0, "spread": 0.05}}))
+    monkeypatch.setenv("SAT_TPU_BENCH_RECORDS", str(records))
+    bench._store_record("k", 3000.0, 0.45)
+    assert json.loads(records.read_text())["k"]["value"] == 2000.0
+    bench._store_record("k", 3000.0, float("inf"))
+    assert json.loads(records.read_text())["k"]["value"] == 2000.0
+    bench._store_record("k", 2500.0, 0.08)  # clean improvement: stored
+    assert json.loads(records.read_text())["k"] == {"value": 2500.0,
+                                                    "spread": 0.08}
+
+
+def test_headline_picked_by_lower_confidence_bound(monkeypatch, capsys):
+    """VERDICT r3 #1b: across the batch sweep the winner maximizes
+    v*(1-spread) — a 45%-spread spike loses to a cleaner, lower raw value
+    (the exact BENCH_r03 shape: 171.7k@45% vs 121.7k@19%)."""
+    rates = {8: (171664.0, 0.45), 16: (121661.0, 0.19)}
+
+    def fake_bench_batch(model, variables, batch, gen, prec, k_small=2,
+                         k_large=16, **kw):
+        return rates.get(batch, (1.0, 0.0))
+
+    monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
+    result = bench.main(["--batches", "8", "16", "--input_size", "64",
+                         "--vocab_size", "128", "--max_gen_length", "4",
+                         "--quick"])
+    assert result["value"] == 121661.0
+    assert result["config"]["batch"] == 16
+
+
+def test_high_side_guard_remeasures_spike(monkeypatch, tmp_path, capsys):
+    """VERDICT r3 #1c: a run >15% above the record band low at >15% spread
+    gets one doubled-chain remeasure; the confidence-weighted winner is
+    kept, so the clean remeasure displaces the spike."""
+    records = tmp_path / "records.json"
+    key = bench._record_key(
+        "greedy_captioning_images_per_sec_per_chip",
+        type("A", (), {"arch": "shufflenet_v2_x0_5", "encoder_dim": 128,
+                       "input_size": 64, "precision": 16, "vocab_size": 128,
+                       "max_gen_length": 4, "fused": "off", "beamk": 1})())
+    records.write_text(json.dumps({key: {"value": 1325.0, "spread": 0.05}}))
+    monkeypatch.setenv("SAT_TPU_BENCH_RECORDS", str(records))
+
+    calls = []
+
+    def fake_bench_batch(model, variables, batch, gen, prec, k_small=2,
+                         k_large=16, **kw):
+        calls.append(k_large)
+        # spike on the sweep at 24% spread (below measure()'s own 25%
+        # internal-remeasure threshold, so only the guard can catch it);
+        # honest rate on the guard's doubled chain (k=20)
+        return (1300.0, 0.04) if k_large == 20 else (1500.0, 0.24)
+
+    monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
+    result = bench.main(["--batches", "8", "--input_size", "64",
+                         "--vocab_size", "128", "--max_gen_length", "4",
+                         "--encoder_dim", "128"])
+    # clean remeasure wins by score: 1300*0.96=1248 > 1500*0.76=1140
+    assert result["value"] == 1300.0
+    assert result["spread"] == 0.04
+    assert calls.count(20) == 1            # exactly one guard remeasure
+    # the record is untouched (1300*0.96=1248 < 1325*0.95=1258.75)
+    assert json.loads(records.read_text())[key]["value"] == 1325.0
+
+
 def test_checkpoint_serving_bench(tmp_path, monkeypatch, capsys):
     """VERDICT r2 #4: bench --checkpoint measures greedy + beam-LN serving
     (each with/without early_exit) off a TRAINED checkpoint on real images,
