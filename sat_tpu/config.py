@@ -50,6 +50,14 @@ class SATConfig:
     bucket_sampler: bool = False
     cache_images: bool = False   # RAM-cache decoded images (subset-scale data)
     native_decode: Optional[bool] = None  # C++ jpeg pipeline (None = auto-detect)
+    # Stage the ENTIRE train split's pixels in HBM once (uint8) and gather
+    # each batch by index inside the jitted step — no per-batch host decode
+    # or relay upload (VERDICT r3 #3: host feeding ran the soak chip ~98%
+    # idle).  Batch order, caption trims, and augmentation rng are identical
+    # to the host path; bit-exact when images decode to exactly
+    # (input_size, input_size) — true for the synthetic soak tasks.
+    # Single-process only (16k x 224^2 x 3 uint8 = 2.4 GB / 16 GB HBM).
+    device_resident_data: bool = False
     # whole-net channel-permutation folding for the shufflenet family's
     # inference path (models/shufflenet_folded.py): every channel shuffle
     # becomes a kernel-side row gather + a few contiguous-slice concats —
@@ -239,6 +247,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--std", nargs=3, default=list(d.std), type=float)
     _add_bool_flag(p, "bucket_sampler")
     _add_bool_flag(p, "cache_images")
+    _add_bool_flag(p, "device_resident_data")
     p.add_argument("--native_decode", default=None, action="store_true",
                    help="force the C++ jpeg pipeline (default: auto-detect)")
     p.add_argument("--no_native_decode", dest="native_decode",

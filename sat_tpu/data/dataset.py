@@ -282,7 +282,14 @@ class CaptionLoader:
                                         else self._trim_len(idxs))]
         return {"images": imgs, "captions": captions, "lengths": lengths}
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def batch_plans(self) -> List[Tuple[List[int], Optional[int],
+                                        Tuple[int, int]]]:
+        """Consume one epoch's batching plan — (dataset indices, caption
+        trim, crop-rng stream key) per batch — WITHOUT decoding any image.
+        Exactly the plan __iter__ would execute (same sampler order, trim
+        buckets, mid-epoch-resume skip, epoch advance): the device-resident
+        feeder (train/loop.py) pairs these with HBM-staged pixels, so the
+        two paths train on bit-identical batches."""
         epoch = (self._external_epoch if self._external_epoch is not None
                  else self._epoch)
         self._rng = np.random.default_rng(
@@ -307,10 +314,14 @@ class CaptionLoader:
         # mid-epoch resume: drop already-trained batches BEFORE decoding
         # anything; the surviving batches keep their global index so their
         # crop rng streams are unchanged
-        batches = [(bidx, trim, (epoch, bi))
-                   for bi, (bidx, trim) in enumerate(batches)][self._skip_next:]
+        plans = [(bidx, trim, (epoch, bi))
+                 for bi, (bidx, trim) in enumerate(batches)][self._skip_next:]
         self._skip_next = 0
         self._epoch += 1
+        return plans
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = self.batch_plans()
         if self.workers == 0:
             for bidx, trim, stream in batches:
                 yield self._make_batch(bidx, trim, stream)

@@ -114,6 +114,10 @@ class Trainer:
             native_decode=cfg.native_decode,
             process_index=proc_id, process_count=n_proc)
         cfg = cfg.replace(train_loader_len=len(self.train_loader)).validate()
+        if cfg.device_resident_data and n_proc > 1:
+            raise ValueError("device_resident_data is single-process: the "
+                             "staged pixel array lives in one host's HBM "
+                             "view (multi-host soaks keep the host loaders)")
 
         # -- model + optimizer -------------------------------------------
         self.rng, r_init = jax.random.split(self.rng)
@@ -198,7 +202,19 @@ class Trainer:
         self._jit_train_step = jax.jit(
             self._train_step, static_argnames=("train_encoder",),
             donate_argnames=("variables", "opt_state"))
+        self._jit_train_step_gather = jax.jit(
+            self._train_step_gather, static_argnames=("train_encoder",),
+            donate_argnames=("variables", "opt_state"))
         self._jit_val_decode = jax.jit(self._val_decode)
+
+        # HBM-staged train pixels (VERDICT r3 #3): decode every image ONCE,
+        # park the (N, S, S, 3) uint8 array on the mesh, and let the jitted
+        # step gather its batch rows by index — the per-step host work drops
+        # to caption/index planning (~KB uploads) and the soak stops running
+        # the chip idle behind the 1-core decode loop.
+        self._staged_images = None
+        if cfg.device_resident_data:
+            self._staged_images = self._stage_train_images()
 
     # ------------------------------------------------------------------
 
@@ -309,6 +325,70 @@ class Trainer:
         params = optax.apply_updates(variables["params"], updates)
         return ({"params": params, "state": {"batch_stats": new_bs}},
                 opt_state, metrics)
+
+    def _train_step_gather(self, variables, opt_state, staged, idx, batch,
+                           lrs, epsilon, rng, *, train_encoder: bool):
+        """Device-resident variant: the batch carries (B,) dataset indices
+        instead of pixels; the images gather from the HBM-staged array
+        INSIDE the jitted step (an axis-0 take of contiguous rows — a
+        batched dynamic-slice, bandwidth-bound and ~free at 9.6 MB/b64).
+        Everything downstream is the literal _train_step, so the two feed
+        paths share one set of train semantics (parity pinned by
+        tests/test_device_resident.py)."""
+        batch = dict(batch, images=jnp.take(staged, idx, axis=0))
+        return self._train_step(variables, opt_state, batch, lrs, epsilon,
+                                rng, train_encoder=train_encoder)
+
+    def _stage_train_images(self):
+        """Decode the whole train split once into one pinned uint8 array and
+        place it replicated on the mesh (16k x 224^2 x 3 = 2.4 GB in a
+        16 GB v5e).  Bit-exact vs the host loader when images decode to
+        exactly (S, S) — the synthetic soak tasks render at input_size, so
+        the loader's random crop was already the identity; anything larger
+        gets ONE center crop here (per-epoch crop translation is lost, and
+        a warning says so)."""
+        from ..data.dataset import square_crop
+        from ..parallel.mesh import replicate_tree
+        loader, S = self.train_loader, self.cfg.input_size
+        n = len(self.train_ds)
+        staged = np.empty((n, S, S, 3), np.uint8)
+        t0 = time.time()
+        n_cropped = 0
+        for i in range(n):
+            arr = loader._decode_full(self.train_ds.img_paths[i])
+            if arr.shape[:2] != (S, S):
+                n_cropped += 1
+                arr = square_crop(arr, S)
+            staged[i] = arr
+            if i and i % 4096 == 0:
+                print(f"  staging {i}/{n} images "
+                      f"({i / (time.time() - t0):.0f}/s)", flush=True)
+        if n_cropped:
+            print(f"WARNING: {n_cropped}/{n} train images were larger than "
+                  f"{S}x{S}; device_resident staged a fixed center crop — "
+                  f"per-epoch crop translation is lost for those images")
+        dev = replicate_tree(staged, self.mesh)
+        dev.block_until_ready()
+        print(f"device-resident staging: {n} images "
+              f"({staged.nbytes / 1e9:.2f} GB uint8) decoded + uploaded in "
+              f"{time.time() - t0:.1f}s", flush=True)
+        return dev
+
+    def _device_resident_stream(self):
+        """The _upload_stream analogue for staged pixels: same epoch plan
+        (bucket order, caption trims, mid-epoch-resume skip — straight from
+        CaptionLoader.batch_plans), but each yielded batch is {image_idx,
+        captions, lengths} — a few KB — instead of ~10 MB of pixels."""
+        loader = self.train_loader
+        for idxs, trim, _stream in loader.batch_plans():
+            caps = self.train_ds.encoded_captions[list(idxs)]
+            lens = self.train_ds.lengths[list(idxs)]
+            if loader.trim_captions:
+                caps = caps[:, :, :(trim if trim is not None
+                                    else loader._trim_len(idxs))]
+            batch = {"image_idx": np.asarray(idxs, np.int32),
+                     "captions": caps, "lengths": lens}
+            yield shard_batch(batch, self.mesh), len(idxs)
 
     def _val_decode(self, variables, images):
         images = val_preprocess(images)
@@ -435,7 +515,10 @@ class Trainer:
         self.train_loader.set_epoch(self.current_epoch,
                                     skip_batches=self._resume_skip_batches)
         self._resume_skip_batches = 0
-        for dbatch, n_local in self._upload_stream(self.train_loader):
+        stream = (self._device_resident_stream()
+                  if self._staged_images is not None
+                  else self._upload_stream(self.train_loader))
+        for dbatch, n_local in stream:
             if max_batches is not None and done >= max_batches:
                 break
             done += 1
@@ -449,11 +532,21 @@ class Trainer:
             # uninterrupted run would have used (bit-exact resume)
             step_rng = jax.random.fold_in(self._step_rng_base,
                                           self.global_step)
-            self.variables, self.opt_state, metrics = self._jit_train_step(
-                self.variables, self.opt_state, dbatch,
-                {k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()},
-                jnp.asarray(epsilon, jnp.float32), step_rng,
-                train_encoder=train_encoder)
+            lrs_dev = {k: jnp.asarray(v, jnp.float32) for k, v in lrs.items()}
+            eps_dev = jnp.asarray(epsilon, jnp.float32)
+            if self._staged_images is not None:
+                idx = dbatch["image_idx"]
+                rest = {k: v for k, v in dbatch.items() if k != "image_idx"}
+                self.variables, self.opt_state, metrics = \
+                    self._jit_train_step_gather(
+                        self.variables, self.opt_state, self._staged_images,
+                        idx, rest, lrs_dev, eps_dev, step_rng,
+                        train_encoder=train_encoder)
+            else:
+                self.variables, self.opt_state, metrics = \
+                    self._jit_train_step(
+                        self.variables, self.opt_state, dbatch, lrs_dev,
+                        eps_dev, step_rng, train_encoder=train_encoder)
 
             # buffered metric fetch: each step's scalars are packed into ONE
             # tiny device array (async dispatch) and fetched log_every steps

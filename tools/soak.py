@@ -124,6 +124,14 @@ def main(argv=None):
                         "~1,070-word vocab, 8-18 token captions, 5 paraphrase "
                         "refs — the COCO-statistics stand-in; the report "
                         "prints the no-image prior-baseline BLEU floor")
+    p.add_argument("--device_resident", action="store_true",
+                   help="stage the whole train split in HBM once (uint8) "
+                        "and gather batches by index inside the jitted "
+                        "step — removes the 1-core host decode/upload "
+                        "bottleneck that ran the chip ~98%% idle (soaks "
+                        "v2-v5 measured 178-355 imgs/s vs 20k+ device-"
+                        "resident). Bit-exact vs the host path for the "
+                        "224px synthetic tasks (tests/test_device_resident)")
     p.add_argument("--save_best", default=None, metavar="PATH",
                    help="save a full checkpoint of the best-bleu4 epoch "
                         "(feeds bench.py --checkpoint serving measurements)")
@@ -196,6 +204,8 @@ def main(argv=None):
         # cache_images keeps the decoded pre-crop arrays in RAM so epochs 2+
         # skip the PNG decode entirely (crop randomness stays per-epoch).
         cfg = cfg.replace(cache_images=True)
+    if a.device_resident:
+        cfg = cfg.replace(device_resident_data=True)
     if a.compositional:
         # The grammar's captions name grid POSITIONS; the default hflip
         # augmentation mirrors the image without relabeling, corrupting
