@@ -192,12 +192,19 @@ def _texture_field(texture: int, r: int) -> np.ndarray:
 
 
 def render_scene(image_size: int, objs: List[Dict],
-                 nprng: np.random.Generator) -> np.ndarray:
-    """objs: [{cell, color, shape, texture, size(0|1)}] -> (S,S,3) uint8."""
+                 nprng: np.random.Generator,
+                 obj_scale: float = 1.0) -> np.ndarray:
+    """objs: [{cell, color, shape, texture, size(0|1)}] -> (S,S,3) uint8.
+
+    obj_scale multiplies the object radii (clamped to the grid cell) — the
+    VERDICT r3 #4b lever for testing the "textures render too small to
+    read at 224^2" hypothesis directly: scale WHAT-bearing pixels up
+    without touching the grammar, grid, or caption statistics."""
     img = np.full((image_size, image_size, 3), 105, np.float32)
     cell_sz = image_size // 3
     for o in objs:
-        r = int(cell_sz * (0.22 if o["size"] == 0 else 0.42))
+        r = int(cell_sz * (0.22 if o["size"] == 0 else 0.42) * obj_scale)
+        r = max(2, min(r, cell_sz // 2 - 1))
         cy = (o["cell"] // 3) * cell_sz + cell_sz // 2
         cx = (o["cell"] % 3) * cell_sz + cell_sz // 2
         # jitter keeps the object inside its grid cell
@@ -219,17 +226,39 @@ def render_scene(image_size: int, objs: List[Dict],
 # ---------------------------------------------------------------------------
 
 
+def color_diverse_nouns(n_nouns: int, n_colors: int) -> List[int]:
+    """A lexicon slice of n_nouns spanning n_colors colors (VERDICT r3 #4a:
+    the contiguous first-N slice is single-color — `--nouns 64` spans
+    1 color x 8 shapes x 8 textures, so no soak ever exercised color).
+    Balanced: n_nouns/n_colors (shape, texture) combos per color, row-major
+    (shapes vary first, then textures), identical across colors so color is
+    a clean independent axis."""
+    assert n_nouns % n_colors == 0, (n_nouns, n_colors)
+    per = n_nouns // n_colors
+    assert per <= _N_SHAPES * _N_TEXTURES and n_colors <= len(_COLORS)
+    combos = [(s, t) for t in range(_N_TEXTURES)
+              for s in range(_N_SHAPES)][:per]
+    return [noun_index(c, s, t) for c in range(n_colors)
+            for (s, t) in combos]
+
+
 def make_compositional_dataset(out_dir: str, n_train: int = 4096,
                                n_val: int = 512, n_test: int = 256,
                                image_size: int = 224, seed: int = 0,
                                n_nouns: int = N_NOUNS,
-                               json_name: Optional[str] = None) -> str:
+                               json_name: Optional[str] = None,
+                               noun_ids: Optional[List[int]] = None,
+                               obj_scale: float = 1.0) -> str:
     """Write images + reference-schema JSON; returns the JSON path.
 
     n_nouns < 1024 restricts the lexicon (tiny test sets); the full lexicon
-    yields a ~1,070-word vocabulary."""
+    yields a ~1,070-word vocabulary.  noun_ids overrides the contiguous
+    first-n_nouns slice with an explicit lexicon (e.g. color_diverse_nouns);
+    obj_scale scales rendered object radii (render_scene)."""
     from PIL import Image
 
+    if noun_ids is not None:
+        n_nouns = len(noun_ids)
     if json_name is None:
         # rung-keyed default (same convention as tools/soak.py) so two rungs
         # sharing one out_dir never overwrite each other's JSON or images
@@ -245,7 +274,9 @@ def make_compositional_dataset(out_dir: str, n_train: int = 4096,
     img_dir = os.path.join(out_dir, f"imgs_{json_name}")
     os.makedirs(img_dir, exist_ok=True)
 
-    words = ([noun_word(i) for i in range(n_nouns)]
+    lexicon = (list(noun_ids) if noun_ids is not None
+               else list(range(n_nouns)))
+    words = ([noun_word(i) for i in lexicon]
              + grammar_words()[N_NOUNS:])
     vocab = Vocab.build(Counter({w: 100 for w in words}), min_count=1,
                         max_vocab=None)
@@ -257,13 +288,13 @@ def make_compositional_dataset(out_dir: str, n_train: int = 4096,
             cells = rng.sample(range(9), 2)
             objs = []
             for cell in cells:
-                ni = rng.randrange(n_nouns)
+                ni = lexicon[rng.randrange(n_nouns)]
                 color, rem = divmod(ni, _N_SHAPES * _N_TEXTURES)
                 shape, texture = divmod(rem, _N_TEXTURES)
                 objs.append({"cell": cell, "color": color, "shape": shape,
                              "texture": texture, "size": rng.randrange(2),
                              "noun": noun_word(ni)})
-            arr = render_scene(image_size, objs, nprng)
+            arr = render_scene(image_size, objs, nprng, obj_scale=obj_scale)
             path = os.path.join(img_dir, f"{tag}_{i}.png")
             # ALWAYS write: scene content depends on seed and on the rng
             # stream position (n_train shifts the val/test draws), so reusing

@@ -12,8 +12,8 @@ import numpy as np
 import pytest
 
 from sat_tpu.data.compositional import (
-    N_NOUNS, grammar_words, make_compositional_dataset, noun_index,
-    noun_word, prior_baseline_bleu, render_scene, _relation)
+    N_NOUNS, color_diverse_nouns, grammar_words, make_compositional_dataset,
+    noun_index, noun_word, prior_baseline_bleu, render_scene, _relation)
 
 
 def test_lexicon_unique_and_sized():
@@ -44,6 +44,50 @@ def test_render_scene_paints_objects():
     br = img[64:, 64:].reshape(-1, 3).astype(int)
     assert (tl[:, 0] - tl[:, 2] > 80).any()
     assert (br[:, 2] - br[:, 0] > 80).any()
+
+
+def test_color_diverse_lexicon():
+    """VERDICT r3 #4a: the first-N slice is single-color; the diverse slice
+    spans K colors with identical shape-texture combos per color."""
+    ids = color_diverse_nouns(64, 8)
+    assert len(ids) == len(set(ids)) == 64
+    attrs = [(i // 64, (i // 8) % 8, i % 8) for i in ids]
+    colors = {c for c, _, _ in attrs}
+    assert colors == set(range(8))
+    per_color = {c: sorted((s, t) for cc, s, t in attrs if cc == c)
+                 for c in colors}
+    combos = per_color[0]
+    assert len(combos) == 8
+    assert all(v == combos for v in per_color.values())
+
+
+def test_color_diverse_dataset_spans_colors(tmp_path):
+    path = make_compositional_dataset(
+        str(tmp_path), n_train=16, n_val=8, n_test=8, image_size=48,
+        noun_ids=color_diverse_nouns(16, 4), json_name="c4")
+    d = json.load(open(path))
+    stoi = d["vocab_stoi"]
+    present = {w for w in stoi if w in
+               {noun_word(i) for i in color_diverse_nouns(16, 4)}}
+    assert len(present) == 16
+    # nouns outside the slice never appear in the vocab
+    outside = {noun_word(i) for i in range(N_NOUNS)} - present
+    assert not (outside & set(stoi))
+
+
+def test_obj_scale_grows_objects():
+    nprng = np.random.default_rng(0)
+    objs = [{"cell": 4, "color": 0, "shape": 1, "texture": 0, "size": 0}]
+    small = render_scene(96, objs, np.random.default_rng(0), obj_scale=1.0)
+    big = render_scene(96, objs, np.random.default_rng(0), obj_scale=2.0)
+    bg = 105
+    painted = lambda im: int((np.abs(im.astype(int) - bg) > 40).sum())
+    assert painted(big) > 2 * painted(small)
+    # and the clamp keeps a huge scale inside the cell (no exception, and
+    # nothing painted outside the center cell's bounds)
+    huge = render_scene(96, objs, np.random.default_rng(0), obj_scale=10.0)
+    border = np.concatenate([huge[:30].ravel(), huge[-30:].ravel()])
+    assert np.abs(border.astype(int) - bg).max() < 40
 
 
 @pytest.fixture(scope="module")

@@ -118,6 +118,19 @@ def main(argv=None):
                         "nouns — the learnability ladder (v2 showed 1,024 "
                         "nouns x 32 sightings each is too sparse for a "
                         "from-scratch encoder in a soak-length run)")
+    p.add_argument("--colors", default=1, type=int, metavar="K",
+                   help="with --compositional --nouns N: span the lexicon "
+                        "across K colors (N/K shape-texture combos each, "
+                        "data/compositional.py::color_diverse_nouns) — the "
+                        "contiguous first-N slice is single-color, so no "
+                        "rung before round 4 ever exercised color binding")
+    p.add_argument("--obj_scale", default=1.0, type=float,
+                   help="with --compositional: scale rendered object radii "
+                        "(clamped to the grid cell) — tests the 'textures "
+                        "render too small to read' WHAT-binding hypothesis")
+    p.add_argument("--input_size", default=224, type=int,
+                   help="image render + model input size (the other "
+                        "resolution lever for the WHAT-binding hypothesis)")
     p.add_argument("--compositional", action="store_true",
                    help="use the compositional caption grammar "
                         "(sat_tpu/data/compositional.py): 2-object scenes, "
@@ -148,20 +161,32 @@ def main(argv=None):
 
     t0 = time.time()
     if a.compositional:
-        from sat_tpu.data.compositional import (N_NOUNS,
+        from sat_tpu.data.compositional import (N_NOUNS, color_diverse_nouns,
                                                 make_compositional_dataset,
                                                 prior_baseline_bleu)
         nouns = a.nouns or N_NOUNS
         name = ("compositional" if nouns == N_NOUNS
                 else f"compositional_{nouns}")
+        # rung-keyed name: every generation axis that changes pixels or
+        # captions lands in the filename, so rungs never collide in out/
+        if a.colors > 1:
+            name += f"_c{a.colors}"
+        if a.obj_scale != 1.0:
+            name += f"_x{a.obj_scale:g}"
+        if a.input_size != 224:
+            name += f"_s{a.input_size}"
         json_path = os.path.join(a.out, f"{name}.json")
         if not os.path.exists(json_path):
-            print(f"generating {a.n} compositional 224px scenes "
-                  f"({nouns} nouns) ...", file=sys.stderr)
+            print(f"generating {a.n} compositional {a.input_size}px scenes "
+                  f"({nouns} nouns, {a.colors} colors, "
+                  f"obj_scale {a.obj_scale:g}) ...", file=sys.stderr)
             json_path = make_compositional_dataset(
                 a.out, n_train=a.n, n_val=a.n_val,
-                n_test=max(a.n_val // 2, 8), image_size=224,
-                n_nouns=nouns, json_name=name)
+                n_test=max(a.n_val // 2, 8), image_size=a.input_size,
+                n_nouns=nouns, json_name=name,
+                noun_ids=(color_diverse_nouns(nouns, a.colors)
+                          if a.colors > 1 else None),
+                obj_scale=a.obj_scale)
         floor = prior_baseline_bleu(json_path)
         print("no-image prior baseline: "
               + " ".join(f"{k}={v:.4f}" for k, v in floor.items()),
@@ -189,7 +214,7 @@ def main(argv=None):
 
     cfg = SATConfig(
         json=json_path, name="soak", batch=a.batch, epochs=a.epochs,
-        precision=16, encoder_arch=a.arch, input_size=224,
+        precision=16, encoder_arch=a.arch, input_size=a.input_size,
         embed_dim=256, attention_dim=128, decoder_dim=512, deep_output=True,
         decoder_tf="inv_sigmoid", decoder_tf_min=0.75, label_smoothing=0.1,
         bucket_sampler=True, workers=a.workers,
