@@ -134,7 +134,7 @@ def bench_train_step(arch: str, input_size: int, vocab_size: int,
                      precision: int, batch: int, train_encoder: bool = True,
                      k_small: int = 2, k_large: int = 8, reps: int = 3,
                      encoder_dim=None, max_cap_length: int = 20,
-                     microbatch: int = 0):
+                     microbatch: int = 0, frozen_eval: bool = False):
     """Training-step throughput (imgs/s/chip): augmentation -> encoder ->
     teacher-forced decoder scan -> loss -> grads -> optax update, all in one
     jitted program, K steps data-chained through the evolving params (each
@@ -172,7 +172,8 @@ def bench_train_step(arch: str, input_size: int, vocab_size: int,
                     embed_dim=256, attention_dim=128, decoder_dim=512,
                     deep_output=True, precision=precision,
                     encoder_dim=encoder_dim, encoder_finetune_after=0,
-                    encoder_lr=1e-4, epochs=1, microbatch=microbatch)
+                    encoder_lr=1e-4, epochs=1, microbatch=microbatch,
+                    frozen_encoder_eval=frozen_eval)
     trainer = Trainer(cfg, dataset=ds, log_root="/tmp/bench_logs")
 
     images = jnp.asarray(rng.integers(0, 256, (batch, input_size, input_size, 3),
@@ -350,10 +351,16 @@ def _headline_score(v: float, spread) -> float:
 def _record_key(metric: str, args) -> str:
     """Stable per-config key for the record band (batch excluded — the sweep
     picks the winning batch; the record is the config's best-known rate)."""
-    return "|".join([metric, args.arch, f"ed{args.encoder_dim}",
-                     f"in{args.input_size}", f"p{args.precision}",
-                     f"v{args.vocab_size}", f"gen{args.max_gen_length}",
-                     f"fused={args.fused}", f"beamk{args.beamk}"])
+    key = "|".join([metric, args.arch, f"ed{args.encoder_dim}",
+                    f"in{args.input_size}", f"p{args.precision}",
+                    f"v{args.vocab_size}", f"gen{args.max_gen_length}",
+                    f"fused={args.fused}", f"beamk{args.beamk}"])
+    # frozen-encoder train variants are different programs with different
+    # ceilings — they must not share a record band with the finetune step
+    if getattr(args, "frozen_encoder", False):
+        key += "|frozen_eval" if getattr(args, "frozen_eval", False) \
+            else "|frozen"
+    return key
 
 
 def _records_path():
@@ -539,6 +546,11 @@ def main(argv=None):
     p.add_argument("--train", action="store_true",
                    help="measure the training step (aug+encoder+TF-scan+grads"
                         "+update) instead of greedy captioning")
+    p.add_argument("--frozen_eval", action="store_true",
+                   help="with --train --frozen_encoder: run the frozen "
+                        "encoder through the EVAL path (running-stat BN + "
+                        "shufflenet permutation folding) — the "
+                        "cfg.frozen_encoder_eval opt-in (VERDICT r3 #5)")
     p.add_argument("--frozen_encoder", action="store_true",
                    help="with --train: freeze the encoder (no encoder bwd)")
     p.add_argument("--microbatch", default=0, type=int,
@@ -579,7 +591,8 @@ def main(argv=None):
                     train_encoder=not args.frozen_encoder,
                     reps=1 if args.quick else 3,
                     encoder_dim=args.encoder_dim,
-                    microbatch=args.microbatch)
+                    microbatch=args.microbatch,
+                    frozen_eval=args.frozen_eval)
             except Exception as e:
                 print(f"# train batch {b} failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
@@ -600,7 +613,8 @@ def main(argv=None):
                     args.arch, args.input_size, args.vocab_size,
                     args.precision, best_b,
                     train_encoder=not args.frozen_encoder, reps=3,
-                    encoder_dim=args.encoder_dim, microbatch=64)
+                    encoder_dim=args.encoder_dim, microbatch=64,
+                    frozen_eval=args.frozen_eval)
                 print(f"# train {args.arch} b={best_b} microbatch=64: "
                       f"{v:.0f} imgs/s (spread {spread:.0%})", file=sys.stderr)
                 if _headline_score(v, spread) > _headline_score(best, best_spread):
@@ -618,7 +632,8 @@ def main(argv=None):
                     args.precision, best_b,
                     train_encoder=not args.frozen_encoder,
                     k_small=2, k_large=16, reps=3,
-                    encoder_dim=args.encoder_dim, microbatch=best_mb))
+                    encoder_dim=args.encoder_dim, microbatch=best_mb,
+                    frozen_eval=args.frozen_eval))
         record = _load_record(key)
         if (not args.quick and best_b
                 and (record is None

@@ -78,6 +78,16 @@ class SATConfig:
     pretrained: bool = False
     pretrained_weights: Optional[str] = None   # path to a torchvision state_dict (offline import)
     encoder_finetune_after: int = -1
+    # Frozen-phase encoder in EVAL mode (VERDICT r3 #5): while the encoder
+    # is frozen (before encoder_finetune_after fires), run it through the
+    # inference path — eval-mode BN on running stats, no batch-stat
+    # updates, and (for shufflenet) the whole-net shuffle-permutation
+    # folding that removed the 44%-class riffle relayouts from the decode
+    # step.  OFF by default: the reference keeps train-mode BN while
+    # frozen (requires_grad=False only, model.py:22-25 — Lightning leaves
+    # the module in train()), and the trajectory-parity tests pin that
+    # path; this is a measured opt-in for frozen-phase throughput.
+    frozen_encoder_eval: bool = False
     encoder_dim: Optional[int] = None
     encoder_size: Optional[int] = None         # adaptive-pool / upsample target grid size
 
@@ -269,6 +279,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "pretrained")
     p.add_argument("--pretrained_weights", default=None, type=str)
     p.add_argument("--encoder_finetune_after", default=d.encoder_finetune_after, type=int)
+    _add_bool_flag(p, "frozen_encoder_eval")
     p.add_argument("--encoder_dim", default=None, type=int)
     p.add_argument("--encoder_size", default=None, type=int)
     p.add_argument("--embed_dim", default=d.embed_dim, type=int)

@@ -239,9 +239,20 @@ class Trainer:
                     lambda x: x.astype(jnp.bfloat16)
                     if x.dtype == jnp.float32 else x, params)
             vars_in = {"params": cparams, "state": {"batch_stats": bs}}
-            annots, new_bs = self.model.encode(vars_in, images_c, train=True)
-            if not train_encoder:
-                annots = jax.lax.stop_gradient(annots)
+            if not train_encoder and self.cfg.frozen_encoder_eval:
+                # frozen-phase eval-mode encoder (cfg.frozen_encoder_eval,
+                # VERDICT r3 #5): inference path — running-stat BN, no
+                # batch-stat updates, shufflenet permutation folding — under
+                # stop_gradient.  Opt-in; the default matches the
+                # reference's train-mode-BN frozen phase.
+                annots = jax.lax.stop_gradient(
+                    self.model.encode(vars_in, images_c, train=False))
+                new_bs = bs
+            else:
+                annots, new_bs = self.model.encode(vars_in, images_c,
+                                                   train=True)
+                if not train_encoder:
+                    annots = jax.lax.stop_gradient(annots)
             # grouped inline-loss scan: annotations stay (B, L, D) — never
             # repeated across the R reference captions and never
             # materializing (N, T, V) logits (the b256 HBM cliff fix)
