@@ -58,6 +58,14 @@ class SATConfig:
     # (input_size, input_size) — true for the synthetic soak tasks.
     # Single-process only (16k x 224^2 x 3 uint8 = 2.4 GB / 16 GB HBM).
     device_resident_data: bool = False
+    # With device_resident_data: scan this many train steps inside ONE
+    # jitted dispatch (captions/indices/LRs for the whole chunk upload
+    # together).  Through the axon relay a per-step dispatch pays ~50 ms of
+    # RTT against a ~4 ms b64 compute step — chunking moved the soak from
+    # 1.1k to >10k imgs/s.  Restart-on-LR-increase checkpoints are detected
+    # at chunk boundaries (the LR trajectory itself is exact).  1 = the
+    # per-step path.
+    steps_per_dispatch: int = 32
     # whole-net channel-permutation folding for the shufflenet family's
     # inference path (models/shufflenet_folded.py): every channel shuffle
     # becomes a kernel-side row gather + a few contiguous-slice concats —
@@ -258,6 +266,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     _add_bool_flag(p, "bucket_sampler")
     _add_bool_flag(p, "cache_images")
     _add_bool_flag(p, "device_resident_data")
+    p.add_argument("--steps_per_dispatch", default=d.steps_per_dispatch,
+                   type=int)
     p.add_argument("--native_decode", default=None, action="store_true",
                    help="force the C++ jpeg pipeline (default: auto-detect)")
     p.add_argument("--no_native_decode", dest="native_decode",

@@ -205,6 +205,9 @@ class Trainer:
         self._jit_train_step_gather = jax.jit(
             self._train_step_gather, static_argnames=("train_encoder",),
             donate_argnames=("variables", "opt_state"))
+        self._jit_train_chunk = jax.jit(
+            self._train_chunk, static_argnames=("train_encoder",),
+            donate_argnames=("variables", "opt_state"))
         self._jit_val_decode = jax.jit(self._val_decode)
 
         # HBM-staged train pixels (VERDICT r3 #3): decode every image ONCE,
@@ -349,6 +352,43 @@ class Trainer:
         batch = dict(batch, images=jnp.take(staged, idx, axis=0))
         return self._train_step(variables, opt_state, batch, lrs, epsilon,
                                 rng, train_encoder=train_encoder)
+
+    def _train_chunk(self, variables, opt_state, staged, idxs, caps, lens,
+                     lr_rows, epsilon, steps, *, train_encoder: bool):
+        """S train steps in ONE dispatch (device-resident fast path).
+
+        A per-step dispatch through the axon relay pays ~50 ms of RTT per
+        ~4 ms b64 compute step (the first device-resident soak measured
+        1.1k imgs/s — 13x off the pure step rate).  Scanning the chunk
+        inside one jitted program amortizes the RTT over S steps; the
+        chunk's indices/captions/LRs upload together (a few hundred KB).
+
+        idxs (S, B) int32 rows into the staged pixel array; caps
+        (S, B, R, T) already trimmed to the chunk max; lr_rows (S, 3) fp32
+        in schedules.GROUPS order (encoder column pre-zeroed while frozen);
+        steps (S,) int32 global step numbers — the per-step rng stays the
+        same pure fold_in(seed_base, global_step) the per-step path uses,
+        so the two paths train bit-identically."""
+        from .schedules import GROUPS
+
+        def body(carry, xs):
+            variables, opt_state = carry
+            idx, cap, ln, lr_row, step = xs
+            batch = {"images": jnp.take(staged, idx, axis=0),
+                     "captions": cap, "lengths": ln}
+            lrs = {g: lr_row[i] for i, g in enumerate(GROUPS)}
+            rng = jax.random.fold_in(self._step_rng_base, step)
+            variables, opt_state, metrics = self._train_step(
+                variables, opt_state, batch, lrs, epsilon, rng,
+                train_encoder=train_encoder)
+            if not hasattr(self, "_metric_keys"):
+                self._metric_keys = tuple(sorted(metrics))
+            packed = jnp.stack([metrics[k] for k in self._metric_keys])
+            return (variables, opt_state), packed
+
+        (variables, opt_state), rows = jax.lax.scan(
+            body, (variables, opt_state), (idxs, caps, lens, lr_rows, steps))
+        return variables, opt_state, rows
 
     def _stage_train_images(self):
         """Decode the whole train split once into one pinned uint8 array and
@@ -508,10 +548,110 @@ class Trainer:
             stop.set()
             t.join(timeout=10)
 
+    def _train_epoch_chunked(self, max_batches: Optional[int] = None
+                             ) -> Dict[str, float]:
+        """Device-resident epoch in steps_per_dispatch-sized scan chunks.
+
+        Bookkeeping parity with the per-step loop: the scheduler is stepped
+        per batch on host while building each chunk's LR rows (exact same
+        call sequence), metrics arrive as one (S, M) array per chunk and
+        flush through the same buffered path, and a chunk never straddles
+        the encoder-unfreeze boundary (the train_encoder recompile edge).
+        Restart-on-LR-increase checkpoints are checked once per chunk."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..utils.timing import StepTimer
+        from .schedules import GROUPS
+        cfg = self.cfg
+        loader = self.train_loader
+        epoch_metrics: List[Dict[str, float]] = []
+        epsilon = teacher_forcing_epsilon(cfg, self.current_epoch)
+        eps_dev = jnp.asarray(epsilon, jnp.float32)
+        enc_on = (cfg.encoder_finetune_after > 0 and cfg.encoder_lr > 0)
+        timer = StepTimer()
+        pending: List[Any] = []
+        flush_n = max(1, cfg.log_every)
+        loader.set_epoch(self.current_epoch,
+                         skip_batches=self._resume_skip_batches)
+        self._resume_skip_batches = 0
+        plans = loader.batch_plans()
+        if max_batches is not None:
+            plans = plans[:max_batches]
+        trims_all = [(trim if trim is not None else loader._trim_len(idxs))
+                     if loader.trim_captions
+                     else self.train_ds.encoded_captions.shape[2]
+                     for idxs, trim, _ in plans]
+        # batch axis (dim 1 of the stacked chunk arrays) sharded over every
+        # mesh axis, step axis replicated — the chunk analogue of
+        # parallel/mesh.data_sharding (incl. its GSPMD grouped-conv note)
+        sh_b1 = NamedSharding(self.mesh, P(None, self.mesh.axis_names))
+        i = 0
+        while i < len(plans):
+            n = min(max(1, cfg.steps_per_dispatch), len(plans) - i)
+            gs0 = self.global_step
+            if enc_on and gs0 < cfg.encoder_finetune_after < gs0 + n:
+                n = cfg.encoder_finetune_after - gs0  # recompile boundary
+            # uniform caption trim within a chunk: the TF coin / dropout-rng
+            # draws are shaped (T-1,), so padding a batch to a LARGER T
+            # would change its random stream vs the per-step path and break
+            # bit-exact parity.  Bucketed epochs emit trims in monotone
+            # runs, so this costs only a few extra chunk boundaries.
+            T = trims_all[i]
+            for j in range(1, n):
+                if trims_all[i + j] != T:
+                    n = j
+                    break
+            train_encoder = enc_on and gs0 >= cfg.encoder_finetune_after
+            chunk = plans[i:i + n]
+            i += n
+            idx_arr = np.stack([np.asarray(idxs, np.int32)
+                                for idxs, _, _ in chunk])
+            caps = np.stack([self.train_ds.encoded_captions[list(idxs)][:, :, :T]
+                             for idxs, _, _ in chunk])
+            lens = np.stack([self.train_ds.lengths[list(idxs)]
+                             for idxs, _, _ in chunk])
+            # exact per-step LR replay: same current_lrs / on_train_batch_end
+            # interleaving the per-step loop performs
+            lr_rows = np.empty((n, len(GROUPS)), np.float32)
+            for j in range(n):
+                lrs = self.scheduler.current_lrs(gs0 + j)
+                if not train_encoder:
+                    lrs = dict(lrs, encoder=0.0)
+                lr_rows[j] = [lrs[g] for g in GROUPS]
+                self.scheduler.on_train_batch_end(gs0 + j)
+            steps = np.arange(gs0, gs0 + n, dtype=np.int32)
+            put1 = lambda x: jax.device_put(x, sh_b1)
+            self.variables, self.opt_state, rows = self._jit_train_chunk(
+                self.variables, self.opt_state, self._staged_images,
+                put1(idx_arr), put1(caps), put1(lens),
+                jnp.asarray(lr_rows), eps_dev, jnp.asarray(steps),
+                train_encoder=train_encoder)
+            b = idx_arr.shape[1]
+            for j in range(n):
+                pending.append((rows[j], gs0 + j, b))
+            self.global_step = gs0 + n
+            if len(pending) >= flush_n:
+                self._flush_train_metrics(pending, epsilon, timer,
+                                          epoch_metrics)
+            # chunk-granular restart detection: an LR increase inside the
+            # chunk is seen at its boundary (tree/step are chunk-end state)
+            self.restart_ckpt.on_train_batch_end(
+                cfg, self._checkpoint_tree, self.global_step,
+                float(lr_rows[-1][0]))
+        self._flush_train_metrics(pending, epsilon, timer, epoch_metrics)
+        means = {k: float(np.mean([m[k] for m in epoch_metrics]))
+                 for k in epoch_metrics[0]} if epoch_metrics else {}
+        self.scheduler.on_train_epoch_end(self.current_epoch)
+        self.logger.train_epoch(
+            means, self.current_epoch,
+            lr=self.scheduler.current_lrs(self.global_step)["decoder"])
+        return means
+
     def train_epoch(self, max_batches: Optional[int] = None) -> Dict[str, float]:
         """One epoch.  max_batches stops early after that many steps — a
         controlled stand-in for an interruption (tests) or a quick profile."""
         from ..utils.timing import StepTimer
+        if self._staged_images is not None and self.cfg.steps_per_dispatch > 1:
+            return self._train_epoch_chunked(max_batches)
         cfg = self.cfg
         epoch_metrics: List[Dict[str, float]] = []
         epsilon = teacher_forcing_epsilon(cfg, self.current_epoch)

@@ -28,18 +28,23 @@ def _cfg(json_path, **kw):
     return SATConfig(**base)
 
 
-def test_device_resident_matches_host_path(tmp_path):
-    json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=16,
+@pytest.mark.parametrize("spd", [1, 3])
+def test_device_resident_matches_host_path(tmp_path, spd):
+    """spd=1 exercises the per-step gather path; spd=3 the chunked-scan
+    path including a ragged tail chunk (4 plans -> chunks of 3 + 1)."""
+    json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=32,
                                        n_val=8, image_size=32,
                                        max_cap_length=6)
     host = Trainer(_cfg(json_path), log_root=str(tmp_path / "lh"))
-    dev = Trainer(_cfg(json_path, device_resident_data=True),
+    dev = Trainer(_cfg(json_path, device_resident_data=True,
+                       steps_per_dispatch=spd),
                   log_root=str(tmp_path / "ld"))
     assert dev._staged_images is not None
-    assert dev._staged_images.shape == (16, 32, 32, 3)
+    assert dev._staged_images.shape == (32, 32, 32, 3)
 
     m_host = host.train_epoch()
     m_dev = dev.train_epoch()
+    assert host.global_step == dev.global_step == 4
     # identical batches + identical rng streams -> identical trajectory
     for k in m_host:
         assert m_host[k] == pytest.approx(m_dev[k], rel=1e-5, abs=1e-6), k
