@@ -145,6 +145,9 @@ def main(argv=None):
                         "v2-v5 measured 178-355 imgs/s vs 20k+ device-"
                         "resident). Bit-exact vs the host path for the "
                         "224px synthetic tasks (tests/test_device_resident)")
+    p.add_argument("--steps_per_dispatch", default=None, type=int,
+                   help="with --device_resident: train steps per jitted "
+                        "scan dispatch (default: config's 32)")
     p.add_argument("--save_best", default=None, metavar="PATH",
                    help="save a full checkpoint of the best-bleu4 epoch "
                         "(feeds bench.py --checkpoint serving measurements)")
@@ -231,6 +234,8 @@ def main(argv=None):
         cfg = cfg.replace(cache_images=True)
     if a.device_resident:
         cfg = cfg.replace(device_resident_data=True)
+    if a.steps_per_dispatch:
+        cfg = cfg.replace(steps_per_dispatch=a.steps_per_dispatch)
     if a.compositional:
         # The grammar's captions name grid POSITIONS; the default hflip
         # augmentation mirrors the image without relabeling, corrupting
