@@ -111,6 +111,7 @@ class Trainer:
             self.val_ds, val_batch, cfg.input_size,
             shuffle=False, bucket=cfg.bucket_sampler, seed=cfg.seed,
             workers=cfg.workers, train=False, drop_last=n_proc > 1,
+            cache_images=cfg.cache_images,  # val re-decodes every epoch
             native_decode=cfg.native_decode,
             process_index=proc_id, process_count=n_proc)
         cfg = cfg.replace(train_loader_len=len(self.train_loader)).validate()
