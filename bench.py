@@ -297,6 +297,15 @@ def bench_checkpoint(args):
                                     args.precision, k_small=2,
                                     k_large=k_large, reps=reps, beamk=bk,
                                     early_exit=ee, images=images)
+            if spread > 0.25 and not args.quick:
+                # same noisy-window policy as the sweep path: one doubled
+                # chain, keep the tighter run
+                v2, s2 = bench_batch(model, variables, batch, gen,
+                                     args.precision, k_small=2,
+                                     k_large=2 * k_large, reps=reps,
+                                     beamk=bk, early_exit=ee, images=images)
+                if s2 < spread:
+                    v, spread = v2, s2
         except Exception as e:
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
@@ -305,7 +314,9 @@ def bench_checkpoint(args):
         print(f"# ckpt b={batch}: {name}: {v:.0f} imgs/s "
               f"(spread {spread:.0%})", file=sys.stderr)
     assert variants, "every serving variant failed"
-    best_name = max(variants, key=lambda n: variants[n]["imgs_per_sec"])
+    best_name = max(variants,
+                    key=lambda n: _headline_score(
+                        variants[n]["imgs_per_sec"], variants[n]["spread"]))
     best = variants[best_name]
     print(json.dumps({
         "metric": "ckpt_serving_images_per_sec_per_chip",
