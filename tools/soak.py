@@ -233,7 +233,11 @@ def main(argv=None):
         # skip the PNG decode entirely (crop randomness stays per-epoch).
         cfg = cfg.replace(cache_images=True)
     if a.device_resident:
-        cfg = cfg.replace(device_resident_data=True)
+        # benchmark=True switches on the persistent XLA compilation cache
+        # (Trainer maps the reference's cudnn.benchmark flag onto it): the
+        # chunked-scan programs cost ~26 min of cold compile per soak
+        # process, and ladder rungs reuse the same shapes
+        cfg = cfg.replace(device_resident_data=True, benchmark=True)
     if a.steps_per_dispatch:
         cfg = cfg.replace(steps_per_dispatch=a.steps_per_dispatch)
     if a.compositional:
