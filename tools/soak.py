@@ -145,6 +145,12 @@ def main(argv=None):
                         "v2-v5 measured 178-355 imgs/s vs 20k+ device-"
                         "resident). Bit-exact vs the host path for the "
                         "224px synthetic tasks (tests/test_device_resident)")
+    p.add_argument("--val_every", default=1, type=int, metavar="N",
+                   help="validate every N epochs (and always on the final "
+                        "one).  With device-resident training at ~1.5 "
+                        "s/epoch, beam validation (~15 s) dominates the "
+                        "soak wall-clock; long rungs (the 1024-noun phase-"
+                        "transition hunt) thin it out")
     p.add_argument("--steps_per_dispatch", default=None, type=int,
                    help="with --device_resident: train steps per jitted "
                         "scan dispatch (default: config's 32)")
@@ -277,7 +283,11 @@ def main(argv=None):
         means = trainer.train_epoch()
         t_train = time.time() - te0
         tv0 = time.time()
-        val = trainer.validate()
+        if (epoch + 1) % a.val_every == 0 \
+                or epoch + 1 == start_epoch + a.epochs:
+            val = trainer.validate()
+        else:
+            val = {}
         t_val = time.time() - tv0
         # actual images trained, not a.n: a pre-existing dataset JSON (the
         # exists-check above) may have been generated with a different --n
@@ -289,7 +299,7 @@ def main(argv=None):
               f"val {t_val:.1f}s loss={means.get('loss', 0):.3f} "
               f"bleu4={val.get('bleu4', 0):.4f}", file=sys.stderr)
         # >= : on a flat curve the LATEST weights are saved, not epoch 0's
-        if a.save_best and val.get("bleu4", 0.0) >= best_bleu4:
+        if a.save_best and "bleu4" in val and val["bleu4"] >= best_bleu4:
             best_bleu4 = val.get("bleu4", 0.0)
             from sat_tpu.train.checkpoints import save_checkpoint
             save_checkpoint(a.save_best, trainer.cfg,
