@@ -1,17 +1,27 @@
 """Profile the flagship train step at a given batch size on the real chip.
 
 Usage: python tools/profile_train_step.py <batch> [microbatch]
-(run from the repo root; trace lands in /tmp/prof_b{B}_mb{MB} -> parse with
-tools/parse_xplane.py)"""
+                [--frozen] [--frozen_eval]
+--frozen profiles the frozen-encoder step (no encoder grads, train-mode
+BN); --frozen_eval additionally routes the frozen encoder through the
+EVAL path (running-stat BN + shufflenet permutation folding) — the
+cfg.frozen_encoder_eval A/B (VERDICT r3 #5).
+(run from the repo root; trace lands in /tmp/prof_b{B}_mb{MB}[_frozen...]
+-> parse with tools/parse_xplane.py)"""
 import os, sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time, glob, json
 import numpy as np
 import jax, jax.numpy as jnp
 
-B = int(sys.argv[1])
-MB = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-OUT = f"/tmp/prof_b{B}_mb{MB}"
+FROZEN = "--frozen" in sys.argv or "--frozen_eval" in sys.argv
+FROZEN_EVAL = "--frozen_eval" in sys.argv
+pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+B = int(pos[0])
+MB = int(pos[1]) if len(pos) > 1 else 0
+OUT = (f"/tmp/prof_b{B}_mb{MB}"
+       + ("_frozen" if FROZEN and not FROZEN_EVAL else "")
+       + ("_frozen_eval" if FROZEN_EVAL else ""))
 
 from sat_tpu.config import SATConfig
 from sat_tpu.train.loop import Trainer
@@ -42,7 +52,7 @@ cfg = SATConfig(encoder_arch=arch, input_size=input_size, batch=B,
                 embed_dim=256, attention_dim=128, decoder_dim=512,
                 deep_output=True, precision=precision, encoder_dim=128,
                 encoder_finetune_after=0, encoder_lr=1e-4, epochs=1,
-                microbatch=MB)
+                microbatch=MB, frozen_encoder_eval=FROZEN_EVAL)
 trainer = Trainer(cfg, dataset=ds, log_root="/tmp/bench_logs")
 
 images = jnp.asarray(rng.integers(0, 256, (B, input_size, input_size, 3),
@@ -59,7 +69,7 @@ eps = jnp.asarray(1.0, jnp.float32)
 def step(v, o, i):
     return trainer._jit_train_step(v, o, batch, lrs, eps,
                                    jax.random.fold_in(jax.random.PRNGKey(0), i),
-                                   train_encoder=True)
+                                   train_encoder=not FROZEN)
 
 v, o = trainer.variables, trainer.opt_state
 v, o, m = step(v, o, 0)  # compile
