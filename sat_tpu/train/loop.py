@@ -210,6 +210,7 @@ class Trainer:
             self._train_chunk, static_argnames=("train_encoder",),
             donate_argnames=("variables", "opt_state"))
         self._jit_val_decode = jax.jit(self._val_decode)
+        self._jit_val_decode_gather = jax.jit(self._val_decode_gather)
 
         # HBM-staged train pixels (VERDICT r3 #3): decode every image ONCE,
         # park the (N, S, S, 3) uint8 array on the mesh, and let the jitted
@@ -217,8 +218,15 @@ class Trainer:
         # to caption/index planning (~KB uploads) and the soak stops running
         # the chip idle behind the 1-core decode loop.
         self._staged_images = None
+        self._staged_val_images = None
         if cfg.device_resident_data:
-            self._staged_images = self._stage_train_images()
+            self._staged_images = self._stage_split(
+                self.train_ds, self.train_loader, "train")
+            # val pixels upload per batch EVERY epoch otherwise (~19 MB per
+            # b64 batch through the relay); the val center crop is identical
+            # to the host path for any image shape, so this is exact
+            self._staged_val_images = self._stage_split(
+                self.val_ds, self.val_loader, "val")
 
     # ------------------------------------------------------------------
 
@@ -391,37 +399,38 @@ class Trainer:
             body, (variables, opt_state), (idxs, caps, lens, lr_rows, steps))
         return variables, opt_state, rows
 
-    def _stage_train_images(self):
-        """Decode the whole train split once into one pinned uint8 array and
-        place it replicated on the mesh (16k x 224^2 x 3 = 2.4 GB in a
-        16 GB v5e).  Bit-exact vs the host loader when images decode to
-        exactly (S, S) — the synthetic soak tasks render at input_size, so
-        the loader's random crop was already the identity; anything larger
-        gets ONE center crop here (per-epoch crop translation is lost, and
-        a warning says so)."""
+    def _stage_split(self, ds, loader, tag: str):
+        """Decode a whole split once into one pinned uint8 array and place
+        it replicated on the mesh (train: 16k x 224^2 x 3 = 2.4 GB in a
+        16 GB v5e; val adds ~77 MB).  Bit-exact vs the host loader when
+        images decode to exactly (S, S) — the synthetic soak tasks render
+        at input_size, so the loader's random crop was already the
+        identity; anything larger gets ONE center crop here (for val that
+        IS the host path's crop; for train the per-epoch crop translation
+        is lost, and a warning says so)."""
         from ..data.dataset import square_crop
         from ..parallel.mesh import replicate_tree
-        loader, S = self.train_loader, self.cfg.input_size
-        n = len(self.train_ds)
+        S = self.cfg.input_size
+        n = len(ds)
         staged = np.empty((n, S, S, 3), np.uint8)
         t0 = time.time()
         n_cropped = 0
         for i in range(n):
-            arr = loader._decode_full(self.train_ds.img_paths[i])
+            arr = loader._decode_full(ds.img_paths[i])
             if arr.shape[:2] != (S, S):
                 n_cropped += 1
                 arr = square_crop(arr, S)
             staged[i] = arr
             if i and i % 4096 == 0:
-                print(f"  staging {i}/{n} images "
+                print(f"  staging {i}/{n} {tag} images "
                       f"({i / (time.time() - t0):.0f}/s)", flush=True)
-        if n_cropped:
+        if n_cropped and tag == "train":
             print(f"WARNING: {n_cropped}/{n} train images were larger than "
                   f"{S}x{S}; device_resident staged a fixed center crop — "
                   f"per-epoch crop translation is lost for those images")
         dev = replicate_tree(staged, self.mesh)
         dev.block_until_ready()
-        print(f"device-resident staging: {n} images "
+        print(f"device-resident staging: {n} {tag} images "
               f"({staged.nbytes / 1e9:.2f} GB uint8) decoded + uploaded in "
               f"{time.time() - t0:.1f}s", flush=True)
         return dev
@@ -450,6 +459,12 @@ class Trainer:
                            max_gen_length=self.cfg.val_max_len,
                            temperature=1.0, rescore_method="LN",
                            early_exit=self.cfg.val_early_exit)
+
+    def _val_decode_gather(self, variables, staged, idx):
+        """Device-resident val: gather the batch from staged pixels by
+        index — per-epoch val stops re-uploading ~19 MB/batch of pixels
+        through the relay."""
+        return self._val_decode(variables, jnp.take(staged, idx, axis=0))
 
     # ------------------------------------------------------------------
 
@@ -742,9 +757,33 @@ class Trainer:
         n_dev = self.mesh.devices.size
         n_proc = jax.process_count()
         self.val_loader.set_epoch(self.current_epoch)
-        for i, batch in enumerate(self.val_loader):
+        staged_val = self._staged_val_images
+        source = (self.val_loader.batch_plans() if staged_val is not None
+                  else self.val_loader)
+        for i, item in enumerate(source):
             if i >= limit:
                 break
+            if staged_val is not None:
+                # device-resident val (single-process): indices upload, the
+                # pixels are already in HBM; scoring reads the refs straight
+                # from the dataset arrays
+                idxs = list(item[0])
+                n = len(idxs)
+                refs_c = self.val_ds.encoded_captions[idxs]
+                refs_l = self.val_ds.lengths[idxs]
+                if n % n_dev:  # pad tail to the mesh size, slice after
+                    idxs = idxs + [idxs[-1]] * (-n % n_dev)
+                idx_dev = shard_batch(np.asarray(idxs, np.int32), self.mesh)
+                res = jax.device_get(self._jit_val_decode_gather(
+                    self.variables, staged_val, idx_dev))
+                caps, _, _, ppl = unpack_beam_result(
+                    res, self.model.grid_hw, return_all=False)
+                caps, ppl = caps[:n], ppl[:n]
+                m = score_captions(caps, refs_c[:n], refs_l[:n],
+                                   embedding=embedding, perplexities=ppl)
+                batch_metrics.append(m)
+                continue
+            batch = item
             n = batch["images"].shape[0]
             if n_proc == 1 and n % n_dev:
                 # pad tail batch to the mesh size, slice after decode

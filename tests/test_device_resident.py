@@ -57,6 +57,15 @@ def test_device_resident_matches_host_path(tmp_path, spd):
         assert kh == kd
         np.testing.assert_allclose(h, d, rtol=1e-5, atol=1e-6,
                                    err_msg=str(kh))
+    if spd == 3:
+        # device-resident validation (staged val pixels + index gather,
+        # incl. the padded tail batch) must score identically to the host
+        # val loader
+        v_host = host.validate()
+        v_dev = dev.validate()
+        for k in v_host:
+            assert v_host[k] == pytest.approx(v_dev[k], rel=1e-5,
+                                              abs=1e-6), k
 
 
 def jax_tree_to_numpy(tree):
