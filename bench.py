@@ -348,15 +348,19 @@ def _finite(x):
 RECORD_SPREAD_CEILING = 0.15
 
 
-def _headline_score(v: float, spread) -> float:
+def _headline_score(v: float, spread):
     """Confidence-weighted comparison key: the lower confidence bound
-    v*(1-spread).  Headlines, records, and remeasure-keeps all rank by this
-    instead of raw value, so a noisy spike can't out-rank a clean run it
-    doesn't provably beat (VERDICT r3 #1b: under this rule BENCH_r03's
-    honest headline is 121.7k @19%, not 171.7k @45%)."""
+    v*(1-spread), tie-broken by raw value.  Headlines, records, and
+    remeasure-keeps all rank by this instead of raw value, so a noisy spike
+    can't out-rank a clean run it doesn't provably beat (VERDICT r3 #1b:
+    under this rule BENCH_r03's honest headline is 121.7k @19%, not
+    171.7k @45%).  Returned as a (bound, raw) tuple: when spread >= 1 the
+    bound clamps to 0 for every run, and without the raw tie-break a very
+    noisy relay sweep would end with the 0.0 init sentinel still "best"
+    (ADVICE r4) — the raw value guarantees some measured config always wins."""
     import math
     s = spread if spread is not None and math.isfinite(spread) else 1.0
-    return v * (1.0 - min(max(s, 0.0), 1.0))
+    return (v * (1.0 - min(max(s, 0.0), 1.0)), v)
 
 
 def _record_key(metric: str, args) -> str:
@@ -400,8 +404,9 @@ def _store_record(key: str, value: float, spread) -> None:
     import math
     if (spread is None or not math.isfinite(spread)
             or spread > RECORD_SPREAD_CEILING):
-        print(f"# not storing record ({value:.0f}): spread "
-              f"{spread if spread is not None and math.isfinite(spread) else -1:.0%} "
+        sp = (f"{spread:.0%}" if spread is not None and math.isfinite(spread)
+              else "n/a")
+        print(f"# not storing record ({value:.0f}): spread {sp} "
               f"exceeds the {RECORD_SPREAD_CEILING:.0%} record ceiling",
               file=sys.stderr)
         return

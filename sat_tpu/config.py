@@ -95,6 +95,11 @@ class SATConfig:
     # frozen (requires_grad=False only, model.py:22-25 — Lightning leaves
     # the module in train()), and the trajectory-parity tests pin that
     # path; this is a measured opt-in for frozen-phase throughput.
+    # QUALITY CAVEAT (ADVICE r4): eval-mode BN reads RUNNING stats, which
+    # are never updated while frozen.  With pretrained=False those are the
+    # init stats (mean 0 / var 1) for the whole frozen phase, and the
+    # encoder later unfreezes into train-mode BN with cold statistics —
+    # intended for pretrained/warm-stat encoders; Trainer warns otherwise.
     frozen_encoder_eval: bool = False
     encoder_dim: Optional[int] = None
     encoder_size: Optional[int] = None         # adaptive-pool / upsample target grid size

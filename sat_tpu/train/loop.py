@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
 import time
 from functools import partial
@@ -56,6 +57,15 @@ class Trainer:
                 os.path.join(os.path.expanduser("~"), ".cache", "sat_tpu_xla"))
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        if cfg.frozen_encoder_eval and not (cfg.pretrained
+                                            or cfg.pretrained_weights):
+            # ADVICE r4: eval-mode BN while frozen reads running stats that
+            # are never updated; from-scratch encoders would run the whole
+            # frozen phase on init stats (mean 0 / var 1) and unfreeze cold.
+            print("WARNING: --frozen_encoder_eval with a from-scratch "
+                  "encoder runs the frozen phase on INIT BN statistics "
+                  "(mean 0/var 1); intended for pretrained encoders whose "
+                  "running stats are warm", file=sys.stderr)
         self.rng = jax.random.PRNGKey(cfg.seed)
         self._step_rng_base = jax.random.fold_in(
             jax.random.PRNGKey(cfg.seed), 0x5A7)
@@ -601,6 +611,12 @@ class Trainer:
         # parallel/mesh.data_sharding (incl. its GSPMD grouped-conv note)
         sh_b1 = NamedSharding(self.mesh, P(None, self.mesh.axis_names))
         i = 0
+        # decoder LR of the last dispatched step, threaded across chunks AND
+        # epochs so an LR increase landing exactly on a chunk or epoch
+        # boundary is still seen (ADVICE r4: restart detection must not
+        # depend on where chunks cut)
+        prev_dec_lr: Optional[float] = getattr(self, "_chunk_prev_dec_lr",
+                                               None)
         while i < len(plans):
             n = min(max(1, cfg.steps_per_dispatch), len(plans) - i)
             gs0 = self.global_step
@@ -617,6 +633,35 @@ class Trainer:
                     n = j
                     break
             train_encoder = enc_on and gs0 >= cfg.encoder_finetune_after
+            # exact per-step LR replay: same current_lrs / on_train_batch_end
+            # interleaving the per-step loop performs.  Computed BEFORE the
+            # data stacking because an LR increase can shorten the chunk.
+            lr_rows = np.empty((n, len(GROUPS)), np.float32)
+            for j in range(n):
+                lrs = self.scheduler.current_lrs(gs0 + j)
+                if not train_encoder:
+                    lrs = dict(lrs, encoder=0.0)
+                lr_rows[j] = [lrs[g] for g in GROUPS]
+                self.scheduler.on_train_batch_end(gs0 + j)
+                # Cut the chunk at a scheduled LR increase (ADVICE r4): the
+                # increase step becomes the chunk's LAST row, so the
+                # restart snapshot below sees chunk-end params after exactly
+                # one increased-LR update — the per-step path's semantics —
+                # instead of up to steps_per_dispatch-1 of them, and a
+                # rise-and-fall can never complete invisibly inside a
+                # chunk.  The scheduler has been stepped exactly j+1 times
+                # here, matching the truncated chunk — no rewind needed.
+                # Warmup's monotone ramp is exempt (the restart manager
+                # ignores steps <= its warmup_steps anyway).
+                last = lr_rows[j - 1][0] if j > 0 else prev_dec_lr
+                if (gs0 + j > self.restart_ckpt.warmup_steps
+                        and last is not None and lr_rows[j][0] > last
+                        and j + 1 < n):
+                    n = j + 1
+                    lr_rows = lr_rows[:n]
+                    break
+            prev_dec_lr = float(lr_rows[n - 1][0])
+            self._chunk_prev_dec_lr = prev_dec_lr
             chunk = plans[i:i + n]
             i += n
             idx_arr = np.stack([np.asarray(idxs, np.int32)
@@ -625,15 +670,6 @@ class Trainer:
                              for idxs, _, _ in chunk])
             lens = np.stack([self.train_ds.lengths[list(idxs)]
                              for idxs, _, _ in chunk])
-            # exact per-step LR replay: same current_lrs / on_train_batch_end
-            # interleaving the per-step loop performs
-            lr_rows = np.empty((n, len(GROUPS)), np.float32)
-            for j in range(n):
-                lrs = self.scheduler.current_lrs(gs0 + j)
-                if not train_encoder:
-                    lrs = dict(lrs, encoder=0.0)
-                lr_rows[j] = [lrs[g] for g in GROUPS]
-                self.scheduler.on_train_batch_end(gs0 + j)
             steps = np.arange(gs0, gs0 + n, dtype=np.int32)
             put1 = lambda x: jax.device_put(x, sh_b1)
             self.variables, self.opt_state, rows = self._jit_train_chunk(
@@ -648,8 +684,15 @@ class Trainer:
             if len(pending) >= flush_n:
                 self._flush_train_metrics(pending, epsilon, timer,
                                           epoch_metrics)
-            # chunk-granular restart detection: an LR increase inside the
-            # chunk is seen at its boundary (tree/step are chunk-end state)
+            # Per-step restart parity (ADVICE r4): chunks are cut at LR
+            # increases above, so within a chunk LR is non-increasing and
+            # the only step the per-step manager could fire on is the
+            # chunk's LAST row.  Its prev at that point is the
+            # second-to-last row — seed the manager with it (for a 1-row
+            # chunk the manager's own stored prev, the previous chunk's
+            # last LR, is already the per-step prev).
+            if n >= 2:
+                self.restart_ckpt.prev_lr = float(lr_rows[-2][0])
             self.restart_ckpt.on_train_batch_end(
                 cfg, self._checkpoint_tree, self.global_step,
                 float(lr_rows[-1][0]))

@@ -23,14 +23,16 @@ def test_quick_bench_json_line(capsys):
     assert parsed["value"] == result["value"]
 
 
-def test_train_microbatch_variant_kept_only_if_faster(monkeypatch, capsys):
+def test_train_microbatch_variant_kept_only_if_faster(monkeypatch, capsys,
+                                                      tmp_path):
     calls = []
 
     def fake_train(arch, size, vocab, prec, b, train_encoder=True, reps=3,
-                   encoder_dim=None, microbatch=0):
+                   encoder_dim=None, microbatch=0, frozen_eval=False):
         calls.append((b, microbatch))
         return (3000.0, 0.05) if microbatch else (2500.0, 0.05)
 
+    monkeypatch.setenv("SAT_TPU_BENCH_RECORDS", str(tmp_path / "records.json"))
     monkeypatch.setattr(bench, "bench_train_step", fake_train)
     result = bench.main(["--train", "--batches", "128", "--input_size", "64",
                          "--vocab_size", "128"])
@@ -252,14 +254,16 @@ def test_checkpoint_serving_defaults_gen_to_val_max_len(tmp_path, monkeypatch,
     assert "WARNING: no --images" in err
 
 
-def test_train_microbatch_variant_skipped_for_small_batch(monkeypatch, capsys):
+def test_train_microbatch_variant_skipped_for_small_batch(monkeypatch, capsys,
+                                                          tmp_path):
     calls = []
 
     def fake_train(arch, size, vocab, prec, b, train_encoder=True, reps=3,
-                   encoder_dim=None, microbatch=0):
+                   encoder_dim=None, microbatch=0, frozen_eval=False):
         calls.append((b, microbatch))
         return 2500.0, 0.05
 
+    monkeypatch.setenv("SAT_TPU_BENCH_RECORDS", str(tmp_path / "records.json"))
     monkeypatch.setattr(bench, "bench_train_step", fake_train)
     bench.main(["--train", "--batches", "64", "--input_size", "64",
                 "--vocab_size", "128"])

@@ -73,6 +73,43 @@ def jax_tree_to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def test_chunk_cut_at_lr_increase_matches_per_step_restarts(tmp_path):
+    """ADVICE r4: a cosine warm restart landing INSIDE a dispatch chunk must
+    cut the chunk so the restart snapshot is taken at the per-step path's
+    position (after exactly one increased-LR update), not up to
+    steps_per_dispatch-1 updates later.  Pins: identical restart-{step}.ckpt
+    filenames AND identical post-run params between spd=1 (per-step gather)
+    and spd=8 (one chunk per epoch, restart mid-chunk)."""
+    import glob
+    import os
+    import jax
+    json_path = make_synthetic_dataset(str(tmp_path / "ds"), n_train=64,
+                                       n_val=8, image_size=32,
+                                       max_cap_length=6)
+    # 8 steps/epoch; cosine_iterations=3 -> t0-adjust gives t_i=5: the LR
+    # rises at step 5, strictly inside an 8-step chunk
+    kw = dict(scheduler="cosine", cosine_iterations=3, lr_warmup_steps=0,
+              device_resident_data=True)
+    per_step = Trainer(_cfg(json_path, steps_per_dispatch=1, **kw),
+                       log_root=str(tmp_path / "l1"))
+    chunked = Trainer(_cfg(json_path, steps_per_dispatch=8, **kw),
+                      log_root=str(tmp_path / "l8"))
+    per_step.train_epoch()
+    chunked.train_epoch()
+    r1 = sorted(os.path.basename(p) for p in
+                glob.glob(os.path.join(per_step.logdir, "restart-*.ckpt")))
+    r8 = sorted(os.path.basename(p) for p in
+                glob.glob(os.path.join(chunked.logdir, "restart-*.ckpt")))
+    assert r1, "cosine warm restart never fired in the per-step run"
+    assert r1 == r8
+    a = jax.device_get(per_step.variables["params"])
+    b = jax.device_get(chunked.variables["params"])
+    for pa, pb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_oversize_images_center_crop_with_warning(tmp_path, capsys):
     import json as _json
     from PIL import Image
