@@ -168,10 +168,15 @@ def bench_train_step(arch: str, input_size: int, vocab_size: int,
           "pretrained_embedding": None, "min_count": 1,
           "max_cap_length": max_cap_length,
           "train": split(max(batch, 8)), "val": split(8), "test": split(8)}
+    # encoder_finetune_after=1 (NOT 0): with 0 the optimizer has no encoder
+    # group (reference model.py:745-746), encoder grads are dead, and XLA
+    # DCE'd the encoder backward — rounds 2-4's "finetune" train metric was
+    # really measuring the frozen-phase program (round-5 discovery; the
+    # 22.4k record was re-based accordingly, see EXPERIMENTS.md round 5).
     cfg = SATConfig(encoder_arch=arch, input_size=input_size, batch=batch,
                     embed_dim=256, attention_dim=128, decoder_dim=512,
                     deep_output=True, precision=precision,
-                    encoder_dim=encoder_dim, encoder_finetune_after=0,
+                    encoder_dim=encoder_dim, encoder_finetune_after=1,
                     encoder_lr=1e-4, epochs=1, microbatch=microbatch,
                     frozen_encoder_eval=frozen_eval)
     trainer = Trainer(cfg, dataset=ds, log_root="/tmp/bench_logs")

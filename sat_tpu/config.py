@@ -248,6 +248,19 @@ class SATConfig:
             # Smoothing of 0 is just regular cross entropy (reference: model.py:147)
             assert 0 <= self.label_smoothing < (self.vocab_size - 1) / self.vocab_size
         assert 0.0 <= self.aug_scale <= 1.0, "Invalid value for aug_scale. Choose in the range [0,1]."
+        if self.encoder_lr > 0 and self.encoder_finetune_after == 0:
+            # Reference-parity foot-gun (model.py:745-746): the encoder param
+            # group is built only when encoder_finetune_after > 0, so =0
+            # means the encoder NEVER trains even though the reference's
+            # unfreeze hook (model.py:584-586) fires at step 0.  This
+            # silently froze every round-3/4 soak rung and mislabeled the
+            # bench "finetune" train metric — warn loudly.
+            import sys as _sys
+            print("WARNING: encoder_finetune_after=0 with encoder_lr>0: the "
+                  "encoder will NEVER train (the optimizer group requires "
+                  "encoder_finetune_after > 0, matching the reference's "
+                  "configure_optimizers).  Use encoder_finetune_after=1 to "
+                  "finetune from the first step.", file=_sys.stderr)
         return self
 
 

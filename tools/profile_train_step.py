@@ -48,10 +48,15 @@ def split(n):
 ds = {"vocab_stoi": stoi, "vocab_size": vocab_size, "embed_dim": None,
       "pretrained_embedding": None, "min_count": 1, "max_cap_length": 20,
       "train": split(8), "val": split(8), "test": split(8)}
+# encoder_finetune_after=1 (NOT 0): the optimizer's encoder group exists
+# only when > 0 (reference model.py:745-746) — with 0 the encoder grads were
+# unused, XLA DCE'd the whole encoder backward, and the "finetune" and
+# "frozen" profiles compiled to the IDENTICAL program (round-5 discovery:
+# identical module fingerprints in both traces).
 cfg = SATConfig(encoder_arch=arch, input_size=input_size, batch=B,
                 embed_dim=256, attention_dim=128, decoder_dim=512,
                 deep_output=True, precision=precision, encoder_dim=128,
-                encoder_finetune_after=0, encoder_lr=1e-4, epochs=1,
+                encoder_finetune_after=1, encoder_lr=1e-4, epochs=1,
                 microbatch=MB, frozen_encoder_eval=FROZEN_EVAL)
 trainer = Trainer(cfg, dataset=ds, log_root="/tmp/bench_logs")
 

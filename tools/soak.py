@@ -151,6 +151,13 @@ def main(argv=None):
                         "s/epoch, beam validation (~15 s) dominates the "
                         "soak wall-clock; long rungs (the 1024-noun phase-"
                         "transition hunt) thin it out")
+    p.add_argument("--frozen_encoder", action="store_true",
+                   help="train with the encoder FROZEN at init (the de-facto "
+                        "behavior of every round-3/4 rung: "
+                        "encoder_finetune_after=0 builds no encoder "
+                        "optimizer group).  Kept as an opt-out for A/Bs "
+                        "against the old rungs; default now finetunes from "
+                        "step 1.")
     p.add_argument("--steps_per_dispatch", default=None, type=int,
                    help="with --device_resident: train steps per jitted "
                         "scan dispatch (default: config's 32)")
@@ -227,7 +234,14 @@ def main(argv=None):
         embed_dim=256, attention_dim=128, decoder_dim=512, deep_output=True,
         decoder_tf="inv_sigmoid", decoder_tf_min=0.75, label_smoothing=0.1,
         bucket_sampler=True, workers=a.workers,
-        encoder_finetune_after=0, encoder_lr=1e-4,
+        # =1, not 0: with 0 the optimizer has NO encoder group (reference
+        # model.py:745-746) — every round-3/4 rung unknowingly trained with
+        # a frozen random-init encoder (round-5 discovery; the likely cause
+        # of shape/texture binding never emerging: color/position are
+        # linearly decodable from random conv features, shape/texture need
+        # trained filters).  --frozen_encoder restores the old behavior.
+        encoder_finetune_after=(0 if a.frozen_encoder else 1),
+        encoder_lr=1e-4,
         scheduler="plateau", plateau_monitor="bleu4",
         val_interval=1, val_percent=0.25, val_beamk=3, val_max_len=20,
         val_early_exit=True, clip_value=5.0, grad_clip="norm", seed=0)
