@@ -789,14 +789,35 @@ class Trainer:
             lr=self.scheduler.current_lrs(self.global_step)["decoder"])
         return means
 
+    def _fetch_beam_no_alphas(self, res):
+        """device_get a BeamResult WITHOUT its alphas: validation scoring
+        never reads attention maps, and the (B, k, T, L) fp32 block is the
+        largest fetch of the val loop (~750 KB/batch at b64 beam-3 through
+        the relay).  The multi-host allgather path has always skipped them
+        (zeros stand in); this applies the same trick single-process."""
+        tokens, lengths, raw, scores, ppl = jax.device_get(
+            (res.tokens, res.lengths, res.raw_scores, res.scores,
+             res.perplexity))
+        return type(res)(
+            tokens=tokens, lengths=lengths, raw_scores=raw, scores=scores,
+            perplexity=ppl,
+            alphas=np.zeros(lengths.shape + res.alphas.shape[2:],
+                            np.float32))
+
     def validate(self) -> Dict[str, float]:
         cfg = self.cfg
         n_batches = len(self.val_loader)
         limit = max(1, int(round(cfg.val_percent * n_batches)))
         batch_metrics: List[Dict[str, float]] = []
+        # itemized wall-time buckets (VERDICT r4 #3: the soak ladder's epoch
+        # time is ~90% validation — make its components visible)
+        tm = {"embed_fetch": 0.0, "decode_fetch": 0.0, "score": 0.0,
+              "data": 0.0}
+        t0 = time.time()
         # fetch_global: under multi-host vocab-TP the embedding spans hosts
         embedding = np.asarray(fetch_global(
             self.variables["params"]["decoder"]["embedding"]))
+        tm["embed_fetch"] = time.time() - t0
         n_dev = self.mesh.devices.size
         n_proc = jax.process_count()
         self.val_loader.set_epoch(self.current_epoch)
@@ -817,17 +838,22 @@ class Trainer:
                 if n % n_dev:  # pad tail to the mesh size, slice after
                     idxs = idxs + [idxs[-1]] * (-n % n_dev)
                 idx_dev = shard_batch(np.asarray(idxs, np.int32), self.mesh)
-                res = jax.device_get(self._jit_val_decode_gather(
+                t0 = time.time()
+                res = self._fetch_beam_no_alphas(self._jit_val_decode_gather(
                     self.variables, staged_val, idx_dev))
+                tm["decode_fetch"] += time.time() - t0
+                t0 = time.time()
                 caps, _, _, ppl = unpack_beam_result(
                     res, self.model.grid_hw, return_all=False)
                 caps, ppl = caps[:n], ppl[:n]
                 m = score_captions(caps, refs_c[:n], refs_l[:n],
                                    embedding=embedding, perplexities=ppl)
+                tm["score"] += time.time() - t0
                 batch_metrics.append(m)
                 continue
             batch = item
             n = batch["images"].shape[0]
+            t0 = time.time()
             if n_proc == 1 and n % n_dev:
                 # pad tail batch to the mesh size, slice after decode
                 # (multi-host loaders drop the tail, so batches stay full)
@@ -835,6 +861,8 @@ class Trainer:
                 batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, 0)])
                          for k, v in batch.items()}
             dbatch = shard_batch(batch, self.mesh)
+            tm["data"] += time.time() - t0
+            t0 = time.time()
             res = self._jit_val_decode(self.variables, dbatch["images"])
             if n_proc > 1:
                 # every host scores the full global batch: allgather the
@@ -857,16 +885,20 @@ class Trainer:
                 refs_l = gather(batch["lengths"])
                 n = refs_c.shape[0]
             else:
-                res = jax.device_get(res)
+                res = self._fetch_beam_no_alphas(res)
                 refs_c, refs_l = batch["captions"], batch["lengths"]
+            tm["decode_fetch"] += time.time() - t0
+            t0 = time.time()
             caps, _, _, ppl = unpack_beam_result(
                 res, self.model.grid_hw, return_all=False)
             caps, ppl = caps[:n], ppl[:n]
             m = score_captions(caps, refs_c[:n], refs_l[:n],
                                embedding=embedding, perplexities=ppl)
+            tm["score"] += time.time() - t0
             batch_metrics.append(m)
         means = {k: float(np.mean([m[k] for m in batch_metrics]))
                  for k in batch_metrics[0]} if batch_metrics else {}
+        self.last_val_timings = tm
         self.logger.val_epoch(means, self.current_epoch)
         # plateau scheduler steps on the monitored metric (model.py:716-718)
         if cfg.plateau_monitor in means:

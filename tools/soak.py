@@ -309,8 +309,12 @@ def main(argv=None):
         rows.append((epoch, t_train, t_val, rate,
                      means.get("loss", float("nan")),
                      val.get("bleu4", float("nan"))))
+        vt = getattr(trainer, "last_val_timings", None)
+        vt_s = ("" if not val or not vt else
+                " [" + " ".join(f"{k}={v:.1f}" for k, v in vt.items()
+                                if v >= 0.05) + "]")
         print(f"epoch {epoch}: train {t_train:.1f}s ({rate:.0f} imgs/s) "
-              f"val {t_val:.1f}s loss={means.get('loss', 0):.3f} "
+              f"val {t_val:.1f}s{vt_s} loss={means.get('loss', 0):.3f} "
               f"bleu4={val.get('bleu4', 0):.4f}", file=sys.stderr)
         # >= : on a flat curve the LATEST weights are saved, not epoch 0's
         if a.save_best and "bleu4" in val and val["bleu4"] >= best_bleu4:
