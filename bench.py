@@ -302,22 +302,32 @@ def bench_checkpoint(args):
                                     args.precision, k_small=2,
                                     k_large=k_large, reps=reps, beamk=bk,
                                     early_exit=ee, images=images)
-            if spread > 0.25 and not args.quick:
-                # same noisy-window policy as the sweep path: one doubled
-                # chain, keep the tighter run
+            # Record-grade gate for serving rows (VERDICT r4 #6: round 4's
+            # b64 rows printed at 34-54% spread and got cited): remeasure
+            # with doubled chains until the row clears the same 15% ceiling
+            # records use, keeping the confidence-best run; a row that
+            # never clears is emitted flagged `noisy` instead of silently.
+            tries = 0
+            while (spread > RECORD_SPREAD_CEILING and not args.quick
+                   and tries < 3):
+                tries += 1
                 v2, s2 = bench_batch(model, variables, batch, gen,
                                      args.precision, k_small=2,
                                      k_large=2 * k_large, reps=reps,
                                      beamk=bk, early_exit=ee, images=images)
-                if s2 < spread:
+                if s2 < spread:  # keep the tighter measurement
                     v, spread = v2, s2
         except Exception as e:
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
         variants[name] = {"imgs_per_sec": round(v, 1),
                           "spread": _finite(spread)}
+        if spread > RECORD_SPREAD_CEILING:
+            variants[name]["noisy"] = True
         print(f"# ckpt b={batch}: {name}: {v:.0f} imgs/s "
-              f"(spread {spread:.0%})", file=sys.stderr)
+              f"(spread {spread:.0%})"
+              + (" NOISY" if spread > RECORD_SPREAD_CEILING else ""),
+              file=sys.stderr)
     assert variants, "every serving variant failed"
     best_name = max(variants,
                     key=lambda n: _headline_score(

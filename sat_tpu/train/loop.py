@@ -898,15 +898,20 @@ class Trainer:
             batch_metrics.append(m)
         means = {k: float(np.mean([m[k] for m in batch_metrics]))
                  for k in batch_metrics[0]} if batch_metrics else {}
-        self.last_val_timings = tm
         self.logger.val_epoch(means, self.current_epoch)
         # plateau scheduler steps on the monitored metric (model.py:716-718)
         if cfg.plateau_monitor in means:
             self.scheduler.on_validation_end(means[cfg.plateau_monitor],
                                              self.global_step)
-        # checkpoint top-k + last (train.py:180-188)
+        # checkpoint top-k + last (train.py:180-188) — timed separately: a
+        # top-k save fetches the full param tree through the relay and
+        # writes ~the checkpoint size to disk, and during a quality
+        # inflection it fires EVERY epoch
+        t0 = time.time()
         self.ckpt.on_validation_end(cfg, self._checkpoint_tree, means,
                                     self.current_epoch, self.global_step)
+        tm["ckpt"] = time.time() - t0
+        self.last_val_timings = tm
         # early stopping (train.py:195-203, mode max)
         if cfg.early_stop_monitor is not None:
             v = means.get(cfg.early_stop_monitor, float("-inf"))
