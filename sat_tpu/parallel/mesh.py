@@ -101,6 +101,82 @@ def fetch_global(tree: Any) -> Any:
     return jax.tree_util.tree_map(to_host, tree)
 
 
+_PACK_CACHE: dict = {}
+
+
+def _pack_fn():
+    """Jitted packer (one compile per (dtype, shape) signature via the jit
+    cache): bitcast every array to uint8 bytes and concatenate into ONE
+    buffer."""
+    import jax.numpy as jnp
+
+    def pack(xs):
+        parts = []
+        for x in xs:
+            flat = x.reshape(-1)
+            if flat.dtype == jnp.bool_:
+                flat = flat.astype(jnp.uint8)
+            if flat.dtype.itemsize > 1:
+                flat = jax.lax.bitcast_convert_type(
+                    flat, jnp.uint8).reshape(-1)
+            parts.append(flat)
+        return jnp.concatenate(parts) if parts else jnp.zeros(0, jnp.uint8)
+
+    return jax.jit(pack)
+
+
+def fetch_tree_packed(tree: Any) -> Any:
+    """fetch_global in ONE device->host transfer (single-process leaves).
+
+    tree_map(device_get) issues one relay round-trip PER LEAF: a
+    349-leaf checkpoint tree costs 22-35 s through the axon relay at
+    ~70 ms RTT each — the soak's val-time itemization showed the
+    per-epoch checkpoint save was ~95% of validation wall-time.  This
+    packs every fully-addressable jax.Array leaf into a single uint8
+    buffer on device (bitcast + concat, compiled once per tree
+    signature), fetches it in one transfer, and slices it back to numpy
+    on host.  Multi-process leaves keep the allgather path; non-array
+    leaves pass through untouched.  Falls back to fetch_global on any
+    packing error (a correctness-first escape hatch)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    pack_idx = [i for i, x in enumerate(leaves)
+                if isinstance(x, jax.Array) and x.is_fully_addressable
+                and x.size > 0]
+    if len(pack_idx) < 2:
+        return fetch_global(tree)
+    try:
+        import ml_dtypes  # jax's own dtype package (bf16 views on host)
+        xs = [leaves[i] for i in pack_idx]
+        sig = tuple((str(x.dtype), tuple(x.shape)) for x in xs)
+        fn = _PACK_CACHE.get(sig)
+        if fn is None:
+            fn = _PACK_CACHE[sig] = _pack_fn()
+        buf = np.asarray(jax.device_get(fn(xs)))
+        out = list(leaves)
+        packed = set(pack_idx)
+        off = 0
+        for i, x in zip(pack_idx, xs):
+            dt = np.dtype(x.dtype) if x.dtype != jax.numpy.bool_ \
+                else np.dtype(np.uint8)
+            nb = x.size * dt.itemsize
+            arr = np.frombuffer(buf[off:off + nb].tobytes(), dtype=dt)
+            if x.dtype == jax.numpy.bool_:
+                arr = arr.astype(bool)
+            out[i] = arr.reshape(x.shape)
+            off += nb
+        assert off == buf.size, (off, buf.size)
+        # non-packed leaves (scalars, numpy, multi-process) via the old path
+        for i, x in enumerate(out):
+            if i not in packed:
+                out[i] = fetch_global(x) if isinstance(x, jax.Array) else x
+        return jax.tree_util.tree_unflatten(treedef, out)
+    except Exception as e:  # pragma: no cover - escape hatch
+        import sys
+        print(f"# fetch_tree_packed fell back to per-leaf fetch: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        return fetch_global(tree)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Host numpy batch -> device arrays sharded on the data axis.
 

@@ -32,8 +32,8 @@ from ..decode.beam import beam_search
 from ..evalx.metrics import score_captions
 from ..models.model import SATModel
 from ..models.sat import train_forward_loss_grouped
-from ..parallel.mesh import (create_mesh, fetch_global, place_tree,
-                             shard_batch)
+from ..parallel.mesh import (create_mesh, fetch_global, fetch_tree_packed,
+                             place_tree, shard_batch)
 from .checkpoints import (RestartCheckpointManager, TopKCheckpointManager,
                           save_checkpoint)
 from .logging import MetricsLogger, next_version_dir
@@ -488,11 +488,14 @@ class Trainer:
                                         if self.early_stop_best is not None
                                         else float("-inf")),
                                "count": self.early_stop_count}}
-        # fetch_global: multi-host + vocab-TP leaves aren't addressable from
-        # one process; the allgather inside is a collective — every process
-        # must call _checkpoint_tree together, which the deterministic
-        # trigger conditions guarantee
-        tree = fetch_global(tree)
+        # fetch_tree_packed: ONE device->host transfer for the whole tree
+        # (the per-leaf path cost 22-35 s per checkpoint through the relay —
+        # ~95% of soak validation wall-time; see EXPERIMENTS.md round 5).
+        # Multi-host + vocab-TP leaves aren't addressable from one process
+        # and keep the per-leaf allgather inside (a collective — every
+        # process must call _checkpoint_tree together, which the
+        # deterministic trigger conditions guarantee).
+        tree = fetch_tree_packed(tree)
         # top-k registry rides along so resuming from ANY checkpoint kind
         # (restart-{step}, last, top-k) restores save_top_k enforcement;
         # TopKCheckpointManager overwrites this with its post-update state

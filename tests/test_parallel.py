@@ -160,3 +160,38 @@ def test_tp_shardings_cover_optimizer_state():
     assert emb_specs, "no embedding-shaped leaves found in opt state"
     assert all(s == jax.sharding.PartitionSpec("model", None)
                for s in emb_specs)
+
+
+def test_fetch_tree_packed_bit_exact():
+    """fetch_tree_packed (ONE device->host transfer for checkpoint trees —
+    the round-5 fix for the 22-35 s per-leaf relay fetch) must return
+    bit-identical numpy leaves to the per-leaf fetch_global across dtypes
+    (f32, bf16, i32, bool, u8), shapes (scalars, odd sizes), sharded and
+    replicated placements, and non-array passthroughs."""
+    from sat_tpu.parallel.mesh import (data_sharding, fetch_global,
+                                       fetch_tree_packed, replicated)
+    mesh = create_mesh()
+    rng = np.random.default_rng(0)
+    tree = {
+        "a": jax.device_put(rng.standard_normal((16, 7)).astype(np.float32),
+                            data_sharding(mesh)),
+        "b": jax.device_put(
+            rng.standard_normal((5, 3)).astype(jnp.bfloat16),
+            replicated(mesh)),
+        "c": jnp.asarray(rng.integers(-5, 5, (11,)), jnp.int32),
+        "d": jnp.asarray(rng.integers(0, 2, (9,)).astype(bool)),
+        "e": jnp.asarray(rng.integers(0, 255, (4, 4)), jnp.uint8),
+        "s": jnp.float32(3.25),
+        "host_int": 7,
+        "host_str": "x",
+        "host_np": rng.standard_normal(3).astype(np.float32),
+    }
+    ref = fetch_global(tree)
+    got = fetch_tree_packed(tree)
+    for k in ref:
+        r, g = ref[k], got[k]
+        if isinstance(r, np.ndarray):
+            assert r.dtype == np.asarray(g).dtype, k
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g), err_msg=k)
+        else:
+            assert r == g, k
