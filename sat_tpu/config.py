@@ -165,6 +165,11 @@ class SATConfig:
     # -- Callbacks (reference: train.py:131-138)
     save_top_k: int = 1
     save_monitor: str = "bleu4"
+    # last.ckpt refresh cadence in validations.  1 = reference save_last=True
+    # parity (train.py:187).  Larger values skip the refresh (and with it the
+    # full checkpoint-tree device->host fetch) on validations where top-k
+    # doesn't fire — the soak-ladder lever; costs only resume granularity.
+    save_last_every: int = 1
     early_stop_monitor: Optional[str] = None
     early_stop_patience: int = 6
 
@@ -356,6 +361,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_val_early_exit", dest="val_early_exit",
                    action="store_false", default=d.val_early_exit)
     p.add_argument("--save_top_k", default=d.save_top_k, type=int)
+    p.add_argument("--save_last_every", default=d.save_last_every, type=int)
     p.add_argument("--save_monitor", default=d.save_monitor, type=str, choices=list(METRIC_CHOICES))
     p.add_argument("--early_stop_monitor", default=None, type=str, choices=list(METRIC_CHOICES))
     p.add_argument("--early_stop_patience", default=d.early_stop_patience, type=int)

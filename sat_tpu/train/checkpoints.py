@@ -128,26 +128,41 @@ class TopKCheckpointManager:
         writer touches the filesystem."""
         if not metrics:
             return
-        tree = tree_fn() if callable(tree_fn) else tree_fn
-        if not self.write:
-            return
         value = float(metrics.get(self.monitor, float("-inf")))
         name = f"epoch={epoch}-step={step}-{self.monitor}={value:.4f}.ckpt"
         path = os.path.join(self.dirpath, name)
+        # Decide what will be written BEFORE fetching the tree: the fetch is
+        # the expensive part (one full-params+opt-state device->host
+        # transfer), and with cfg.save_last_every > 1 most validations write
+        # nothing at all.  The decision is deterministic across processes
+        # (metrics are identical on every host), so the collective inside
+        # tree_fn stays aligned.
         evict = None
         save = False
         if self.save_top_k <= 0:
             pass
         elif len(self.best) < self.save_top_k:
             save = True
-            self.best.append((value, path))
         else:
             worst = min(self.best)
             if value > worst[0]:
                 save = True
                 evict = worst
-                self.best.remove(worst)
-                self.best.append((value, path))
+        self._val_count = getattr(self, "_val_count", 0) + 1
+        every = max(int(getattr(cfg, "save_last_every", 1) or 1), 1)
+        # save_last=True parity is every=1 (reference: train.py:187); larger
+        # values are the soak-ladder lever — a skipped refresh only costs
+        # resume granularity (top-k + restart ckpts still exist)
+        save_last = self._val_count % every == 0
+        if not (save or save_last):
+            return
+        if save:
+            self.best.append((value, path))
+            if evict is not None:
+                self.best.remove(evict)
+        tree = tree_fn() if callable(tree_fn) else tree_fn
+        if not self.write:
+            return
         # registry updated FIRST so the file being written includes itself
         # (Lightning's best_k_models persistence order)
         tree = dict(tree, top_k=self.state_dict())
@@ -155,8 +170,9 @@ class TopKCheckpointManager:
             save_checkpoint(path, cfg, tree)
             if evict is not None and os.path.exists(evict[1]):
                 os.remove(evict[1])
-        # save_last=True: always refresh last.ckpt
-        save_checkpoint(os.path.join(self.dirpath, "last.ckpt"), cfg, tree)
+        if save_last:
+            save_checkpoint(os.path.join(self.dirpath, "last.ckpt"), cfg,
+                            tree)
 
 
 class RestartCheckpointManager:

@@ -243,6 +243,11 @@ def main(argv=None):
         encoder_finetune_after=(0 if a.frozen_encoder else 1),
         encoder_lr=1e-4,
         scheduler="plateau", plateau_monitor="bleu4",
+        # last.ckpt refresh every 8 vals: on non-improving epochs nothing is
+        # written and the full-tree fetch is skipped entirely (the fetch was
+        # ~95% of val wall-time pre-pack; the pack made it 4 s, this makes
+        # most epochs ~0)
+        save_last_every=8,
         val_interval=1, val_percent=0.25, val_beamk=3, val_max_len=20,
         val_early_exit=True, clip_value=5.0, grad_clip="norm", seed=0)
     if a.compositional or a.learnable:
