@@ -213,9 +213,12 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
 
     noisy = decoder_noise is not None and decoder_noise != 0.0
     use_fused = fused and cfg.decoder_layers == 1 and not noisy
-    # per-beam annotation copies are loop-invariant: hoist them out of the scan
-    ann_flat = att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1)
-    annot_flat = annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d)
+    if use_fused:
+        # the fused kernel consumes per-beam (B*k, L, ·) copies; only built
+        # on that path — the default path reads the UN-replicated (B, L, ·)
+        # arrays via grouped einsums (see step_fn)
+        ann_flat = att_enc[:, None].repeat(k, axis=1).reshape(b * k, L, -1)
+        annot_flat = annotations[:, None].repeat(k, axis=1).reshape(b * k, L, d)
     if use_fused:
         # the fused kernel computes attention/beta/LSTM from ONE hidden state;
         # hidden noise splits them (noise applies only to the LSTM input
@@ -242,7 +245,22 @@ def beam_search(params: Dict, cfg: SATConfig, annotations: jax.Array,
             c_new = c1.reshape(c.shape)
         else:
             hidden = h[-1].reshape(b * k, -1)
-            zt, alpha = soft_attention(params, ann_flat, annot_flat, hidden)
+            # Grouped soft attention (same math as decoder.soft_attention,
+            # annotations/att_enc BROADCAST over the beam dim instead of
+            # physically repeated — the decode-side twin of the train scan's
+            # r-fold traffic cut, models/sat.py).  The replicated
+            # (B*k, L, ·) reads were ~39 MB/step at b512 beam-3 and scaled
+            # super-linearly in the b512 profile (EXPERIMENTS.md round 5).
+            from ..models.decoder import _linear
+            hidden_g = h[-1]                                      # (B, k, H)
+            att_dec = _linear(params["att_dec"], hidden_g)        # (B, k, A)
+            att = _linear(params["f_att"],
+                          jnp.tanh(att_enc[:, None] + att_dec[:, :, None]))
+            att = att[..., 0] * (L ** -0.5)                       # (B, k, L)
+            alpha = jax.nn.softmax(att.astype(jnp.float32),
+                                   axis=-1).astype(att.dtype)
+            zt = jnp.einsum("bkl,bld->bkd", alpha,
+                            annotations).reshape(b * k, -1)       # (B*k, D)
             beta = beta_gate(params, hidden)
             x = jnp.concatenate([prev_embed, beta * zt], axis=-1)
 
