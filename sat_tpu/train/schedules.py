@@ -187,4 +187,9 @@ class LRScheduler:
 
         if t <= up_steps or up_steps <= 0:
             return cos_anneal(initial, max_lr, t / max(up_steps, 1e-9))
-        return cos_anneal(max_lr, final, (t - up_steps) / max(down_steps, 1e-9))
+        # pct clamped to 1: torch raises past total_steps; evaluating our
+        # trajectory after the final step (end-of-run logging, resume) must
+        # HOLD the final_div floor, not wrap the cosine back up (pre-round-5
+        # bug: lr(total_steps) bounced to mid-cycle values)
+        pct = min((t - up_steps) / max(down_steps, 1e-9), 1.0)
+        return cos_anneal(max_lr, final, pct)
