@@ -230,6 +230,51 @@ def test_checkpoint_serving_bench(tmp_path, monkeypatch, capsys):
     assert parsed["caption_len"]["cap"] == 4
 
 
+def test_serving_rows_retry_noisy_and_flag(tmp_path, monkeypatch, capsys):
+    """VERDICT r4 #6: serving rows get the record-grade spread gate — a row
+    above 15% spread is remeasured with doubled chains (keeping the tighter
+    run) and, if it never clears, emitted FLAGGED `noisy` instead of
+    silently cited (round 4's b64 rows printed at 34-54% and got quoted)."""
+    import numpy as np
+    from PIL import Image
+
+    from sat_tpu.train.checkpoints import save_checkpoint
+
+    model, variables = bench.build_model("shufflenet_v2_x0_5", 64, 128, 32)
+    ckpt = tmp_path / "tiny.ckpt"
+    save_checkpoint(str(ckpt), model.cfg,
+                    {"params": variables["params"],
+                     "state": variables["state"]})
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(img_dir / "i.jpg")
+
+    calls = {"n": 0}
+
+    def fake_bench_batch(model, variables, batch, gen, prec, k_large=10,
+                        images=None, **kw):
+        calls["n"] += 1
+        # greedy (first variant): noisy first try, clears on the doubled
+        # chain; every other variant: incurably noisy
+        if calls["n"] == 1:
+            return 100.0, 0.5
+        if calls["n"] == 2:
+            assert k_large == 20  # doubled-chain remeasure
+            return 95.0, 0.05
+        return 50.0, 0.5
+
+    monkeypatch.setattr(bench, "bench_batch", fake_bench_batch)
+    bench.main(["--checkpoint", str(ckpt), "--images", str(img_dir),
+                "--batches", "4", "--max_gen_length", "4"])
+    parsed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    v = parsed["variants"]
+    assert v["greedy"] == {"imgs_per_sec": 95.0, "spread": 0.05}
+    assert "noisy" not in v["greedy"]
+    for name in ("greedy_early_exit", "beam3_LN", "beam3_LN_early_exit"):
+        assert v[name]["noisy"] is True, name
+        assert v[name]["spread"] == 0.5
+
+
 def test_checkpoint_serving_defaults_gen_to_val_max_len(tmp_path, monkeypatch,
                                                         capsys):
     from sat_tpu.train.checkpoints import save_checkpoint
